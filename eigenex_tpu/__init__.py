@@ -1,0 +1,81 @@
+"""eigenex_tpu — a TPU-native Krylov eigensolver and tensor library.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+``versmc/cmpt-eigenex`` (a serial header-only C++/Eigen extension
+library): matrix-free Lanczos/Arnoldi eigensolvers, Krylov f(A)v and
+exp(xA)v, COO/CSR/BSR sparse operators with Pallas SpMV kernels, tensor
+SVD, multi-index interpretation, string-labeled einsum, block-sparse
+tensors with symmetry-sector-aware contraction, and mesh-sharded
+distributed execution — none of it a port: the compute path is built
+for the MXU/VPU and XLA's compilation model.
+"""
+
+from .block.block_tensor import BlockTensor, block_tensor_norm, block_tensor_squared_norm
+from .core.indices import AddIndices, ProductIndices, Slice
+from .core.operators import LinearOperator, aslinearoperator, identity_operator
+from .ops.orthogonalize import (
+    cgs2,
+    gram_schmidt,
+    orthogonal_complement,
+    project_out,
+)
+from .ops.einsum import contract, einsum
+from .ops.kron import TensorKroneckerProduct, tensor_kronecker_product
+from .ops.tensor_svd import TensorSVDResult, tensor_svd, truncated_tensor_svd
+from .ops.tensor_util import (
+    contract_vector_as_diagonal,
+    transform_tensor_with_matrix,
+    zerowisely_resized,
+)
+from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
+from .solvers.functions import (
+    LanczosExponentialSolver,
+    LanczosFunctionSolver,
+    expm_multiply,
+    lanczos_expmv,
+    lanczos_function_apply,
+    taylor_expmv,
+    taylor_expmv_auto,
+)
+from .sparse import (
+    BSRMatrix,
+    COOBuilder,
+    COOMatrix,
+    CSRMatrix,
+    bsr_from_coo_arrays,
+    bsr_from_dense,
+    coo_from_dense,
+    coo_identity,
+    csr_from_coo,
+    csr_from_dense,
+)
+from .solvers.lanczos import (
+    UNLIMITED,
+    LanczosEigenSolver,
+    LanczosOptions,
+    LanczosResult,
+    LanczosState,
+    init_lanczos_state,
+    lanczos_steps,
+)
+from .utils.exceptions import (
+    ArnoldiError,
+    BlockTensorError,
+    EigenexError,
+    EinsumError,
+    LanczosError,
+    OperatorError,
+)
+from .utils.prng import (
+    random_hermitian,
+    random_matrix,
+    random_normal,
+    random_orthogonal,
+    random_tensor,
+    random_uniform,
+    random_vector,
+)
+from .utils.tolerance import default_tolerance
+from .utils.trace import ConvergenceTrace
+
+__version__ = "0.1.0"

@@ -1,0 +1,141 @@
+"""Pallas TPU kernels for block-sparse SpMV/SpMM.
+
+The reference's SpMV is a serial COO scatter (triplets_matrix.hpp:
+314-318).  The TPU-native hot path instead runs over the BSR-ELL layout
+(:mod:`eigenex_tpu.sparse.bsr`): one grid program per block row, the
+column-block ids scalar-prefetched into SMEM so each program gathers its
+x blocks with dynamic slices and accumulates ``data[r,k] @ x[cols[r,k]]``
+on the MXU.  All shapes are static; padding slots multiply zero blocks.
+
+Design notes (per the Pallas guide):
+- ``PrefetchScalarGridSpec(num_scalar_prefetch=1)`` makes ``block_cols``
+  available before the body runs — required for data-dependent gathers.
+- x is staged VMEM-resident as a (n_block_cols, bn) 2-D array so block
+  gathers are row slices (TPU dislikes 1-D shapes).
+- The k-loop is a static Python loop (k_max is small by construction);
+  the accumulator lives in registers/VMEM at f32.
+- f64/complex inputs fall back to the XLA path in
+  :meth:`BSRMatrix.matvec` — TPU hardware is f32/bf16; the Krylov
+  recurrence keeps its critical scalars in f64 on host regardless.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bsr_matvec_pallas", "bsr_matmat_pallas"]
+
+
+def _spmv_kernel(kmax: int, cols_ref, data_ref, x_ref, y_ref):
+    """One block row: y[r] = Σ_k data[r, k] @ x[cols[r, k]]."""
+    r = pl.program_id(0)
+    bm = y_ref.shape[-1]
+    acc = jnp.zeros((1, bm), jnp.float32)
+    for k in range(kmax):
+        c = cols_ref[r, k]
+        xb = x_ref[c, :]  # (bn,)
+        blk = data_ref[0, k]  # (bm, bn)
+        acc = acc + jnp.dot(
+            blk, xb[:, None], preferred_element_type=jnp.float32
+        ).reshape(1, bm)
+    y_ref[...] = acc.astype(y_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
+    """y = A @ x for a BSR-ELL matrix via a Pallas TPU kernel.
+
+    Falls back to the XLA path for dtypes the MXU does not support
+    natively (f64, complex)."""
+    if bsr.dtype not in (jnp.float32, jnp.bfloat16):
+        return bsr.matvec(x)
+    nbr, kmax, bm, bn = bsr.data.shape
+    nbc = bsr.n_block_cols
+    x2 = x.astype(bsr.dtype).reshape(nbc, bn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kmax, bm, bn),
+                lambda i, cols: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2 resident
+        ],
+        out_specs=pl.BlockSpec((1, bm), lambda i, cols: (i, 0), memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        partial(_spmv_kernel, kmax),
+        out_shape=jax.ShapeDtypeStruct((nbr, bm), bsr.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * kmax * bm * bn,
+            bytes_accessed=bsr.data.size * bsr.data.dtype.itemsize
+            + x2.size * x2.dtype.itemsize
+            + nbr * bm * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(bsr.block_cols, bsr.data, x2)
+    return y.reshape(bsr.shape[0])
+
+
+def _spmm_kernel(kmax: int, cols_ref, data_ref, x_ref, y_ref):
+    """One block row, dense RHS: y[r] = Σ_k data[r, k] @ X[cols[r, k]]."""
+    r = pl.program_id(0)
+    bm = y_ref.shape[-2]
+    p = y_ref.shape[-1]
+    acc = jnp.zeros((bm, p), jnp.float32)
+    for k in range(kmax):
+        c = cols_ref[r, k]
+        xb = x_ref[c]  # (bn, p)
+        blk = data_ref[0, k]  # (bm, bn)
+        acc = acc + jnp.dot(blk, xb, preferred_element_type=jnp.float32)
+    y_ref[0] = acc.astype(y_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def bsr_matmat_pallas(bsr, X: jax.Array, interpret: bool = False) -> jax.Array:
+    """Y = A @ X (dense multi-vector RHS) via Pallas."""
+    if bsr.dtype not in (jnp.float32, jnp.bfloat16):
+        return bsr.matmat(X)
+    nbr, kmax, bm, bn = bsr.data.shape
+    nbc = bsr.n_block_cols
+    p = X.shape[1]
+    x3 = X.astype(bsr.dtype).reshape(nbc, bn, p)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kmax, bm, bn),
+                lambda i, cols: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bm, p), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    y = pl.pallas_call(
+        partial(_spmm_kernel, kmax),
+        out_shape=jax.ShapeDtypeStruct((nbr, bm, p), bsr.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * kmax * bm * bn * p,
+            bytes_accessed=bsr.data.size * bsr.data.dtype.itemsize
+            + x3.size * x3.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(bsr.block_cols, bsr.data, x3)
+    return y.reshape(bsr.shape[0], p)

@@ -1,0 +1,28 @@
+from .arnoldi import (
+    ArnoldiEigenSolver,
+    ArnoldiOptions,
+    ArnoldiResult,
+    ArnoldiState,
+    arnoldi_steps,
+    init_arnoldi_state,
+)
+from .functions import (
+    LanczosExponentialSolver,
+    LanczosFunctionSolver,
+    dense_expmv,
+    expm_multiply,
+    lanczos_expmv,
+    lanczos_function_apply,
+    taylor_expmv,
+    taylor_expmv_auto,
+)
+from .lanczos import (
+    UNLIMITED,
+    LanczosEigenSolver,
+    LanczosOptions,
+    LanczosResult,
+    LanczosState,
+    init_lanczos_state,
+    lanczos_steps,
+    tridiagonal_eigh,
+)

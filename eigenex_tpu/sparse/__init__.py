@@ -1,0 +1,16 @@
+from .bsr import BSRMatrix, bsr_from_coo_arrays, bsr_from_dense
+from .coo import COOBuilder, COOMatrix, coo_from_dense, coo_identity
+from .csr import CSRMatrix, csr_from_coo, csr_from_dense
+
+__all__ = [
+    "BSRMatrix",
+    "bsr_from_coo_arrays",
+    "bsr_from_dense",
+    "COOBuilder",
+    "COOMatrix",
+    "coo_from_dense",
+    "coo_identity",
+    "CSRMatrix",
+    "csr_from_coo",
+    "csr_from_dense",
+]

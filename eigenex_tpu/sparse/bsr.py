@@ -1,0 +1,187 @@
+"""BSR (block-sparse row) matrix in ELLPACK-padded layout — the TPU
+performance format.
+
+The reference has only COO with a serial scatter SpMV
+(triplets_matrix.hpp:314-318).  On TPU, irregular scatter wastes the
+machine; the fast layout is **block rows with a fixed (padded) number of
+column-block slots** ("BSR-ELL"):
+
+- ``data``:       (n_block_rows, k_max, bm, bn) dense block stack
+- ``block_cols``: (n_block_rows, k_max) int32 column-block ids
+  (padding slots point at block-column 0 with all-zero data, so no
+  masking is needed in the inner loop)
+
+SpMV then becomes gather + batched small matmul — entirely static
+shapes, MXU/VPU-friendly, and the natural unit for row-partitioning
+across a device mesh (SURVEY.md §5: the operator's rows shard over the
+mesh; halo exchange moves whole x blocks).  A Pallas kernel over this
+layout lives in :mod:`eigenex_tpu.ops.pallas_spmv`; this module's
+XLA-native path is the fallback and the oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.operators import LinearOperator
+from ..utils.exceptions import EigenexError
+
+__all__ = ["BSRMatrix", "bsr_from_coo_arrays", "bsr_from_dense"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BSRMatrix:
+    """ELL-padded block-sparse-row matrix (immutable device container)."""
+
+    data: jax.Array  # (nbr, kmax, bm, bn)
+    block_cols: jax.Array  # (nbr, kmax) int32
+    shape: tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def block_shape(self) -> tuple[int, int]:
+        return (self.data.shape[2], self.data.shape[3])
+
+    @property
+    def n_block_rows(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n_block_cols(self) -> int:
+        return self.shape[1] // self.block_shape[1]
+
+    @property
+    def k_max(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        """Stored (padded) entries — the work the device actually does."""
+        return int(np.prod(self.data.shape))
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """y = A @ x via gather + batched block matmul (XLA path)."""
+        bm, bn = self.block_shape
+        xb = x.reshape(self.n_block_cols, bn)
+        gathered = xb[self.block_cols]  # (nbr, kmax, bn)
+        y = jnp.einsum(
+            "rkij,rkj->ri",
+            self.data,
+            gathered.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        return y.reshape(self.shape[0])
+
+    def matmat(self, X: jax.Array) -> jax.Array:
+        """A @ X for (n, p) dense X — block-batched MXU matmuls."""
+        bm, bn = self.block_shape
+        p = X.shape[1]
+        xb = X.reshape(self.n_block_cols, bn, p)
+        gathered = xb[self.block_cols]  # (nbr, kmax, bn, p)
+        y = jnp.einsum(
+            "rkij,rkjp->rip",
+            self.data,
+            gathered.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        return y.reshape(self.shape[0], p)
+
+    def as_linear_operator(self, use_pallas: bool | None = None) -> LinearOperator:
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from ..ops.pallas_spmv import bsr_matvec_pallas
+
+            return LinearOperator(
+                lambda p, x: bsr_matvec_pallas(p, x),
+                self,
+                self.shape,
+                self.dtype,
+                rmatvec_fn=None,
+                matmat_fn=lambda p, X: p.matmat(X),
+            )
+        return LinearOperator(
+            lambda p, x: p.matvec(x),
+            self,
+            self.shape,
+            self.dtype,
+            matmat_fn=lambda p, X: p.matmat(X),
+        )
+
+    def to_dense(self) -> jax.Array:
+        bm, bn = self.block_shape
+        nbr, kmax = self.block_cols.shape
+        d = jnp.zeros((nbr, self.n_block_cols, bm, bn), self.dtype)
+        rows = jnp.repeat(jnp.arange(nbr), kmax)
+        d = d.at[rows, self.block_cols.reshape(-1)].add(
+            self.data.reshape(nbr * kmax, bm, bn)
+        )
+        return d.transpose(0, 2, 1, 3).reshape(self.shape)
+
+    def scalar_multiple(self, c) -> "BSRMatrix":
+        return BSRMatrix(self.data * c, self.block_cols, self.shape)
+
+
+def bsr_from_coo_arrays(
+    row: np.ndarray,
+    col: np.ndarray,
+    val: np.ndarray,
+    shape: tuple[int, int],
+    block_shape: tuple[int, int],
+    dtype=None,
+) -> BSRMatrix:
+    """Pack host COO triplets into the padded BSR-ELL layout.
+
+    Rows/cols beyond a block-shape multiple are zero-padded (the extra
+    rows/cols are structurally zero, harmless for SpMV and Krylov use).
+    """
+    bm, bn = block_shape
+    m = -(-shape[0] // bm) * bm
+    n = -(-shape[1] // bn) * bn
+    nbr, nbc = m // bm, n // bn
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val = np.asarray(val, dtype)
+    br, bc = row // bm, col // bn
+    ir, ic = row % bm, col % bn
+    # group triplets by (block_row, block_col)
+    key = br * nbc + bc
+    order = np.argsort(key, kind="stable")
+    key, br, bc, ir, ic, val = key[order], br[order], bc[order], ir[order], ic[order], val[order]
+    uniq_key, start = np.unique(key, return_index=True)
+    ubr, ubc = uniq_key // nbc, uniq_key % nbc
+    counts = np.bincount(np.searchsorted(uniq_key, key), minlength=len(uniq_key))
+    # slot index of each unique block within its block row
+    slot = np.zeros(len(uniq_key), np.int64)
+    k_per_row = np.bincount(ubr, minlength=nbr)
+    kmax = max(int(k_per_row.max()) if len(k_per_row) else 0, 1)
+    running: dict[int, int] = {}
+    for i, r in enumerate(ubr):
+        running[r] = running.get(r, -1) + 1
+        slot[i] = running[r]
+    data = np.zeros((nbr, kmax, bm, bn), val.dtype)
+    block_cols = np.zeros((nbr, kmax), np.int32)
+    block_of_triplet = np.searchsorted(uniq_key, key)
+    np.add.at(
+        data,
+        (ubr[block_of_triplet], slot[block_of_triplet], ir, ic),
+        val,
+    )
+    block_cols[ubr, slot] = ubc
+    return BSRMatrix(
+        jnp.asarray(data), jnp.asarray(block_cols), shape=(m, n)
+    )
+
+
+def bsr_from_dense(A, block_shape: tuple[int, int], threshold: float = 0.0) -> BSRMatrix:
+    A = np.asarray(A)
+    r, c = np.nonzero(np.abs(A) > threshold)
+    return bsr_from_coo_arrays(r, c, A[r, c], A.shape, block_shape)

@@ -1,0 +1,92 @@
+"""CSR sparse matrix.
+
+The reference only has COO (triplets_matrix.hpp); CSR is part of the
+capability surface mandated by BASELINE.json ("CSR/COO/BSR storage").
+On TPU the CSR row-pointer array does not help the scatter-free
+``segment_sum`` execution, so :class:`CSRMatrix` stores the expanded row
+ids alongside ``indptr`` — ``indptr`` serves construction, slicing and
+interop; the compute path is identical to COO's sorted segment-sum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.operators import LinearOperator
+from .coo import COOMatrix
+
+__all__ = ["CSRMatrix", "csr_from_coo", "csr_from_dense"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CSRMatrix:
+    indptr: jax.Array  # (m+1,) int32
+    indices: jax.Array  # (nnz,) int32 column ids, row-sorted
+    data: jax.Array  # (nnz,)
+    row_ids: jax.Array  # (nnz,) int32 expanded row ids (compute path)
+    shape: tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        contrib = self.data * x[self.indices]
+        return jax.ops.segment_sum(
+            contrib, self.row_ids, num_segments=self.shape[0], indices_are_sorted=True
+        )
+
+    def matmat(self, X: jax.Array) -> jax.Array:
+        contrib = self.data[:, None] * X[self.indices]
+        return jax.ops.segment_sum(
+            contrib, self.row_ids, num_segments=self.shape[0], indices_are_sorted=True
+        )
+
+    def to_coo(self) -> COOMatrix:
+        return COOMatrix(self.row_ids, self.indices, self.data, self.shape)
+
+    def to_dense(self) -> jax.Array:
+        return self.to_coo().to_dense()
+
+    def as_linear_operator(self) -> LinearOperator:
+        return LinearOperator(
+            lambda p, x: p.matvec(x),
+            self,
+            self.shape,
+            self.dtype,
+            rmatvec_fn=lambda p, x: p.to_coo().rmatvec(x),
+            matmat_fn=lambda p, X: p.matmat(X),
+        )
+
+
+def csr_from_coo(coo: COOMatrix) -> CSRMatrix:
+    r = np.asarray(coo.row)
+    c = np.asarray(coo.col)
+    v = np.asarray(coo.val)
+    order = np.lexsort((c, r))
+    r, c, v = r[order], c[order], v[order]
+    indptr = np.zeros(coo.shape[0] + 1, np.int32)
+    np.add.at(indptr, r + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    return CSRMatrix(
+        jnp.asarray(indptr),
+        jnp.asarray(c.astype(np.int32)),
+        jnp.asarray(v),
+        jnp.asarray(r.astype(np.int32)),
+        coo.shape,
+    )
+
+
+def csr_from_dense(A, threshold: float = 0.0) -> CSRMatrix:
+    from .coo import coo_from_dense
+
+    return csr_from_coo(coo_from_dense(A, threshold))

@@ -1,0 +1,158 @@
+"""Sparse container tests (COO/CSR/BSR) — dense NumPy as the oracle,
+plus Gershgorin-bound and Lanczos-integration checks (BASELINE config 1:
+1D Laplacian CSR, lowest eigenpairs, full reorthogonalization)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eigenex_tpu.sparse import (
+    COOBuilder,
+    bsr_from_coo_arrays,
+    bsr_from_dense,
+    coo_from_dense,
+    coo_identity,
+    csr_from_coo,
+    csr_from_dense,
+)
+from eigenex_tpu import LanczosEigenSolver, LanczosOptions
+
+
+def random_sparse_dense(rng, m, n, density=0.2, dtype=np.float64):
+    A = rng.standard_normal((m, n))
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        A = A + 1j * rng.standard_normal((m, n))
+    A[rng.random((m, n)) > density] = 0
+    return A.astype(dtype)
+
+
+class TestCOO:
+    @pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+    def test_matvec_oracle(self, rng, dtype):
+        A = random_sparse_dense(rng, 17, 13, dtype=dtype)
+        x = rng.standard_normal(13).astype(np.float64)
+        coo = coo_from_dense(A)
+        np.testing.assert_allclose(coo.matvec(jnp.asarray(x)), A @ x, atol=1e-12)
+        np.testing.assert_allclose(coo.rmatvec(jnp.ones(17)), A.conj().T @ np.ones(17), atol=1e-12)
+        X = rng.standard_normal((13, 4))
+        np.testing.assert_allclose(coo.matmat(jnp.asarray(X)), A @ X, atol=1e-12)
+
+    def test_builder_merge_duplicates(self):
+        b = COOBuilder(3, 3).append(0, 0, 1.0).append(0, 0, 2.0).append(2, 1, -1.0)
+        coo = b.build()
+        assert coo.nnz == 2
+        d = np.asarray(coo.to_dense())
+        assert d[0, 0] == 3.0 and d[2, 1] == -1.0
+
+    def test_builder_threshold_drop(self):
+        b = COOBuilder(2, 2).append(0, 0, 1e-15).append(1, 1, 1.0)
+        assert b.build(threshold=1e-12).nnz == 1
+
+    def test_set_identity_and_fit_size(self):
+        b = COOBuilder(4, 4).set_identity()
+        np.testing.assert_allclose(b.build().to_dense(), np.eye(4))
+        b2 = COOBuilder(1, 1)
+        b2._r, b2._c, b2._v = [5], [3], [1.0]
+        b2.fit_size()
+        assert (b2.rows, b2.cols) == (6, 4)
+
+    def test_add_sub_transpose_adjoint(self, rng):
+        A = random_sparse_dense(rng, 8, 8, dtype=np.complex128)
+        B = random_sparse_dense(rng, 8, 8, dtype=np.complex128)
+        ca, cb = coo_from_dense(A), coo_from_dense(B)
+        np.testing.assert_allclose((ca + cb).to_dense(), A + B, atol=1e-14)
+        np.testing.assert_allclose((ca - cb).to_dense(), A - B, atol=1e-14)
+        np.testing.assert_allclose(ca.T.to_dense(), A.T, atol=1e-14)
+        np.testing.assert_allclose(ca.H.to_dense(), A.conj().T, atol=1e-14)
+        np.testing.assert_allclose((2.0 * ca).to_dense(), 2 * A, atol=1e-14)
+
+    def test_norms(self, rng):
+        A = random_sparse_dense(rng, 9, 7)
+        coo = coo_from_dense(A)
+        np.testing.assert_allclose(coo.l1norm(), np.abs(A).sum(0).max(), atol=1e-12)
+        np.testing.assert_allclose(coo.linorm(), np.abs(A).sum(1).max(), atol=1e-12)
+        np.testing.assert_allclose(coo.l2norm(), np.linalg.norm(A, "fro"), atol=1e-12)
+
+    def test_gershgorin_bounds_contain_spectrum(self, rng):
+        A = random_sparse_dense(rng, 12, 12)
+        A = (A + A.T) / 2
+        coo = coo_from_dense(A)
+        lo, hi = coo.estimate_eigenvalue_range()
+        ev = np.linalg.eigvalsh(A)
+        assert float(lo) <= ev[0] + 1e-12 and ev[-1] <= float(hi) + 1e-12
+
+    def test_identity(self):
+        assert np.allclose(coo_identity(5).to_dense(), np.eye(5))
+
+
+class TestCSR:
+    def test_matvec_oracle(self, rng):
+        A = random_sparse_dense(rng, 20, 20)
+        csr = csr_from_dense(A)
+        x = rng.standard_normal(20)
+        np.testing.assert_allclose(csr.matvec(jnp.asarray(x)), A @ x, atol=1e-12)
+        np.testing.assert_allclose(csr.to_dense(), A, atol=1e-14)
+
+    def test_indptr(self, rng):
+        A = np.array([[1.0, 0, 2], [0, 0, 0], [3, 4, 0]])
+        csr = csr_from_dense(A)
+        np.testing.assert_array_equal(np.asarray(csr.indptr), [0, 2, 2, 4])
+
+
+class TestBSR:
+    @pytest.mark.parametrize("bs", [(2, 2), (4, 4), (3, 5)])
+    def test_matvec_oracle(self, rng, bs):
+        A = random_sparse_dense(rng, 24, 20, density=0.3)
+        bsr = bsr_from_dense(A, bs)
+        x = rng.standard_normal(bsr.shape[1])
+        x[20:] = 0
+        y = np.asarray(bsr.matvec(jnp.asarray(x)))
+        np.testing.assert_allclose(y[:24], A @ x[:20], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(bsr.to_dense())[:24, :20], A, atol=1e-14)
+
+    def test_matmat_oracle(self, rng):
+        A = random_sparse_dense(rng, 16, 16, density=0.3)
+        bsr = bsr_from_dense(A, (4, 4))
+        X = rng.standard_normal((16, 3))
+        np.testing.assert_allclose(bsr.matmat(jnp.asarray(X)), A @ X, atol=1e-12)
+
+    def test_duplicate_triplets_accumulate(self):
+        r = np.array([0, 0, 1])
+        c = np.array([0, 0, 1])
+        v = np.array([1.0, 2.0, 5.0])
+        bsr = bsr_from_coo_arrays(r, c, v, (2, 2), (2, 2))
+        d = np.asarray(bsr.to_dense())
+        assert d[0, 0] == 3.0 and d[1, 1] == 5.0
+
+
+class TestSparseLanczos:
+    def test_laplacian_csr_lanczos(self):
+        """BASELINE config 1 in miniature: lowest eigenpairs of the 1D
+        Laplacian from CSR storage, full reorthogonalization."""
+        n = 64
+        b = COOBuilder(n, n, np.float64)
+        for i in range(n):
+            b.append(i, i, 2.0)
+            if i + 1 < n:
+                b.append(i, i + 1, -1.0)
+                b.append(i + 1, i, -1.0)
+        csr = csr_from_coo(b.build())
+        op = csr.as_linear_operator()
+        res = LanczosEigenSolver(
+            op, LanczosOptions(max_eigenvalues=3, tolerance=1e-14, max_subspace=n, seed=0)
+        ).compute()
+        exact = np.array([2 - 2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(3)])
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-10)
+
+    def test_bsr_lanczos_matches_dense(self, rng):
+        n = 32
+        A = random_sparse_dense(rng, n, n, density=0.3)
+        A = (A + A.T) / 2
+        bsr = bsr_from_dense(A, (4, 4))
+        op = bsr.as_linear_operator(use_pallas=False)
+        res = LanczosEigenSolver(
+            op, LanczosOptions(max_eigenvalues=2, tolerance=1e-14, max_subspace=n, seed=1)
+        ).compute()
+        ref = np.linalg.eigvalsh(A)
+        np.testing.assert_allclose(res.eigenvalues, ref[:2], atol=1e-9)
