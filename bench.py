@@ -1,0 +1,149 @@
+"""Benchmark: block-sparse SpMV throughput (nnz/s) on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "spmv_nnz_per_s", "value": N, "unit": "nnz/s", "vs_baseline": N}
+
+- Matrix: symmetric block-tridiagonal BSR with dense 128x128 blocks
+  (the block-sparse Hamiltonian shape of BASELINE.json), f32.
+- TPU paths timed: Pallas BSR-ELL kernel and the XLA gather+einsum
+  path; the best sustained rate is reported.
+- vs_baseline: ratio against the reference algorithm's cost model — a
+  serial COO scatter SpMV (triplets_matrix.hpp:314-318), measured here
+  with the same semantics (np.add.at scatter loop) on this host's CPU
+  and scaled to the benchmark nnz.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def banded_block_bsr(nbr: int, bm: int, dtype=np.float32, seed: int = 0):
+    from eigenex_tpu.sparse.bsr import BSRMatrix
+
+    rng = np.random.default_rng(seed)
+    kmax = 3
+    data = np.zeros((nbr, kmax, bm, bm), dtype)
+    cols = np.zeros((nbr, kmax), np.int32)
+    diag = rng.standard_normal((nbr, bm, bm)).astype(dtype)
+    off = rng.standard_normal((nbr - 1, bm, bm)).astype(dtype)
+    for r in range(nbr):
+        data[r, 0] = (diag[r] + diag[r].T) / 2
+        cols[r, 0] = r
+        slot = 1
+        if r > 0:
+            data[r, slot] = off[r - 1].T
+            cols[r, slot] = r - 1
+            slot += 1
+        if r + 1 < nbr:
+            data[r, slot] = off[r]
+            cols[r, slot] = r + 1
+    n = nbr * bm
+    return BSRMatrix(jnp.asarray(data), jnp.asarray(cols), (n, n))
+
+
+# Two chain lengths: per-matvec time is the SLOPE between them, which
+# cancels the constant host→TPU tunnel dispatch/readback latency (~30 ms
+# on this machine — block_until_ready does not reliably wait over the
+# tunnel, so each sample forces a scalar readback instead).
+CHAIN_SHORT, CHAIN_LONG = 8, 72
+
+
+def make_chained(matvec):
+    """K chained, normalized matvecs in ONE device dispatch (the Lanczos
+    access pattern), returning a scalar so readback forces completion."""
+
+    @jax.jit
+    def chained(b, x, k):
+        def body(_, v):
+            y = matvec(b, v)
+            return y / jnp.linalg.norm(y)
+
+        out = jax.lax.fori_loop(0, k, body, x)
+        return jnp.vdot(out, out)
+
+    return chained
+
+
+def time_fn(fn, *args, warmup=1, reps=4):
+    """Per-matvec seconds via the two-point chain slope."""
+    for k in (CHAIN_SHORT, CHAIN_LONG):
+        for _ in range(warmup):
+            float(fn(*args, k))
+    best = {CHAIN_SHORT: np.inf, CHAIN_LONG: np.inf}
+    for _ in range(reps):
+        for k in (CHAIN_SHORT, CHAIN_LONG):
+            t0 = time.perf_counter()
+            float(fn(*args, k))
+            best[k] = min(best[k], time.perf_counter() - t0)
+    return (best[CHAIN_LONG] - best[CHAIN_SHORT]) / (CHAIN_LONG - CHAIN_SHORT)
+
+
+def serial_scatter_baseline(nnz_sample: int = 2_000_000) -> float:
+    """Reference cost model: serial COO scatter out[row] += in[col]*v
+    (triplets_matrix.hpp:314-318) on the host CPU.  Returns nnz/s."""
+    rng = np.random.default_rng(0)
+    n = 1 << 16
+    rows = rng.integers(0, n, nnz_sample).astype(np.int64)
+    cols = rng.integers(0, n, nnz_sample).astype(np.int64)
+    vals = rng.standard_normal(nnz_sample)
+    x = rng.standard_normal(n)
+    out = np.zeros(n)
+    t0 = time.perf_counter()
+    np.add.at(out, rows, vals * x[cols])
+    dt = time.perf_counter() - t0
+    return nnz_sample / dt
+
+
+def main():
+    # ~100M true nonzeros: 2048 block rows x ~3 dense 128x128 blocks
+    nbr, bm = 2048, 128
+    bsr = banded_block_bsr(nbr, bm)
+    nnz = int(np.count_nonzero(np.asarray(bsr.data)))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(bsr.shape[1]).astype(np.float32))
+
+    xla_chain = make_chained(lambda b, v: b.matvec(v))
+    t_xla = time_fn(xla_chain, bsr, x)
+
+    t_pallas = None
+    try:
+        from eigenex_tpu.ops.pallas_spmv import bsr_matvec_pallas
+
+        y_p = bsr_matvec_pallas(bsr, x)
+        y_x = bsr.matvec(x)
+        err = float(jnp.linalg.norm(y_p - y_x) / jnp.linalg.norm(y_x))
+        if err < 1e-4:
+            t_pallas = time_fn(make_chained(bsr_matvec_pallas), bsr, x)
+        else:
+            print(f"# pallas path disagrees (rel err {err:.2e}); using XLA path", file=sys.stderr)
+    except Exception as e:  # pallas unavailable (non-TPU backend etc.)
+        print(f"# pallas path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+
+    best = min([t for t in (t_xla, t_pallas) if t is not None])
+    nnz_per_s = nnz / best
+    baseline = serial_scatter_baseline()
+    print(
+        f"# xla: {nnz/t_xla/1e9:.2f} Gnnz/s"
+        + (f", pallas: {nnz/t_pallas/1e9:.2f} Gnnz/s" if t_pallas else "")
+        + f", serial-scatter baseline: {baseline/1e6:.1f} Mnnz/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "spmv_nnz_per_s",
+                "value": nnz_per_s,
+                "unit": "nnz/s",
+                "vs_baseline": nnz_per_s / baseline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,22 @@ from .ops.tensor_util import (
     transform_tensor_with_matrix,
     zerowisely_resized,
 )
+from .block.hamiltonians import (
+    heisenberg_block_hamiltonian,
+    heisenberg_ground_state,
+    heisenberg_sector_coo,
+)
+from .ops.sparse_svd import gram_operator, truncated_svd_via_lanczos
+from .parallel import (
+    DistributedLanczosEigenSolver,
+    distributed_lanczos_steps,
+    initialize_multihost,
+    make_mesh,
+    pad_bsr_for_mesh,
+)
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
+from .solvers.cg import cg_solve, shift_invert_operator
+from .utils.checkpoint import load_state, save_state
 from .solvers.functions import (
     LanczosExponentialSolver,
     LanczosFunctionSolver,

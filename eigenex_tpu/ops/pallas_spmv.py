@@ -31,19 +31,29 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["bsr_matvec_pallas", "bsr_matmat_pallas"]
 
 
-def _spmv_kernel(kmax: int, cols_ref, data_ref, x_ref, y_ref):
-    """One block row: y[r] = Σ_k data[r, k] @ x[cols[r, k]]."""
-    r = pl.program_id(0)
+#: block rows processed per grid program — keeps the output tile
+#: (R, bm) legal for the (8, 128) f32 tiling rule and amortizes grid
+#: overhead; data tile per program is R·kmax·bm·bn·4 bytes.
+_ROWS_PER_PROGRAM = 8
+
+
+def _spmv_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
+    """``rows_per`` block rows per program:
+    y[r] = Σ_k data[r, k] @ x[cols[r, k]].
+
+    ``cols_ref`` is the FLATTENED (nbr*kmax,) column-id array: SMEM pads
+    the last axis to 128 lanes, so a (nbr, kmax) layout would waste
+    128/kmax× scalar memory and overflow the 1 MB SMEM budget."""
+    r0 = pl.program_id(0) * rows_per
     bm = y_ref.shape[-1]
-    acc = jnp.zeros((1, bm), jnp.float32)
-    for k in range(kmax):
-        c = cols_ref[r, k]
-        xb = x_ref[c, :]  # (bn,)
-        blk = data_ref[0, k]  # (bm, bn)
-        acc = acc + jnp.dot(
-            blk, xb[:, None], preferred_element_type=jnp.float32
-        ).reshape(1, bm)
-    y_ref[...] = acc.astype(y_ref.dtype)
+    for i in range(rows_per):
+        acc = jnp.zeros((bm, 1), jnp.float32)
+        for k in range(kmax):
+            c = cols_ref[(r0 + i) * kmax + k]
+            xb = x_ref[c, :]  # (bn,)
+            blk = data_ref[i, k]  # (bm, bn)
+            acc = acc + jnp.dot(blk, xb[:, None], preferred_element_type=jnp.float32)
+        y_ref[i, :] = acc[:, 0].astype(y_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -51,28 +61,29 @@ def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
     """y = A @ x for a BSR-ELL matrix via a Pallas TPU kernel.
 
     Falls back to the XLA path for dtypes the MXU does not support
-    natively (f64, complex)."""
-    if bsr.dtype not in (jnp.float32, jnp.bfloat16):
-        return bsr.matvec(x)
+    natively (f64, complex) and for row counts the tile rules reject."""
     nbr, kmax, bm, bn = bsr.data.shape
+    R = _ROWS_PER_PROGRAM
+    if bsr.dtype not in (jnp.float32, jnp.bfloat16) or nbr % R or bm % 8 or bn % 128:
+        return bsr.matvec(x)
     nbc = bsr.n_block_cols
     x2 = x.astype(bsr.dtype).reshape(nbc, bn)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nbr,),
+        grid=(nbr // R,),
         in_specs=[
             pl.BlockSpec(
-                (1, kmax, bm, bn),
+                (R, kmax, bm, bn),
                 lambda i, cols: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x2 resident
         ],
-        out_specs=pl.BlockSpec((1, bm), lambda i, cols: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((R, bm), lambda i, cols: (i, 0), memory_space=pltpu.VMEM),
     )
     y = pl.pallas_call(
-        partial(_spmv_kernel, kmax),
+        partial(_spmv_kernel, kmax, R),
         out_shape=jax.ShapeDtypeStruct((nbr, bm), bsr.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -83,18 +94,19 @@ def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
             + nbr * bm * x2.dtype.itemsize,
             transcendentals=0,
         ),
-    )(bsr.block_cols, bsr.data, x2)
+    )(bsr.block_cols.reshape(-1), bsr.data, x2)
     return y.reshape(bsr.shape[0])
 
 
 def _spmm_kernel(kmax: int, cols_ref, data_ref, x_ref, y_ref):
-    """One block row, dense RHS: y[r] = Σ_k data[r, k] @ X[cols[r, k]]."""
+    """One block row, dense RHS: y[r] = Σ_k data[r, k] @ X[cols[r, k]].
+    ``cols_ref`` flattened to 1-D (see _spmv_kernel)."""
     r = pl.program_id(0)
     bm = y_ref.shape[-2]
     p = y_ref.shape[-1]
     acc = jnp.zeros((bm, p), jnp.float32)
     for k in range(kmax):
-        c = cols_ref[r, k]
+        c = cols_ref[r * kmax + k]
         xb = x_ref[c]  # (bn, p)
         blk = data_ref[0, k]  # (bm, bn)
         acc = acc + jnp.dot(blk, xb, preferred_element_type=jnp.float32)
@@ -104,9 +116,9 @@ def _spmm_kernel(kmax: int, cols_ref, data_ref, x_ref, y_ref):
 @partial(jax.jit, static_argnames=("interpret",))
 def bsr_matmat_pallas(bsr, X: jax.Array, interpret: bool = False) -> jax.Array:
     """Y = A @ X (dense multi-vector RHS) via Pallas."""
-    if bsr.dtype not in (jnp.float32, jnp.bfloat16):
-        return bsr.matmat(X)
     nbr, kmax, bm, bn = bsr.data.shape
+    if bsr.dtype not in (jnp.float32, jnp.bfloat16) or bm % 8 or bn % 128:
+        return bsr.matmat(X)
     nbc = bsr.n_block_cols
     p = X.shape[1]
     x3 = X.astype(bsr.dtype).reshape(nbc, bn, p)
@@ -137,5 +149,5 @@ def bsr_matmat_pallas(bsr, X: jax.Array, interpret: bool = False) -> jax.Array:
             + x3.size * x3.dtype.itemsize,
             transcendentals=0,
         ),
-    )(bsr.block_cols, bsr.data, x3)
+    )(bsr.block_cols.reshape(-1), bsr.data, x3)
     return y.reshape(bsr.shape[0], p)

@@ -1,0 +1,8 @@
+from .distributed import (
+    DistributedLanczosEigenSolver,
+    distributed_lanczos_steps,
+    halo_matvec,
+    pad_bsr_for_mesh,
+    split_bsr_halo,
+)
+from .mesh import ROWS, initialize_multihost, make_mesh, replicated_sharding, row_sharding

@@ -1,0 +1,320 @@
+"""Row-partitioned distributed SpMV and distributed Lanczos.
+
+Net-new subsystem (the reference is strictly serial; SURVEY.md §2):
+implements BASELINE.json's north star — the operator's block rows are
+sharded over a 1-D device mesh, vectors and the Krylov basis shard over
+the same axis, Gram-Schmidt inner products complete with ``lax.psum``,
+and each matvec reconstitutes the needed x segments with collectives
+lowered by XLA onto ICI.
+
+Two matvec strategies:
+
+- **all-gather** (general sparsity): ``lax.all_gather`` the x shards,
+  then local BSR-ELL SpMV.  Correctness baseline; bandwidth n per
+  device per matvec.
+- **neighbor halo** (:func:`halo_matvec`, for operators whose column
+  blocks only reach the adjacent shards — banded/PDE/chain
+  Hamiltonians): exchange only the boundary block segments via
+  ``lax.ppermute`` ring shifts, overlapped by XLA with the local
+  diagonal-part SpMV (SURVEY.md §5's ring-attention analog).
+
+The distributed Lanczos reuses the *identical* step body as the
+single-device solver (``_lanczos_chunk_body`` with ``axis_name`` set) —
+one code path, so single-vs-sharded bit-comparison tests are meaningful
+(SURVEY.md §4e).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.operators import LinearOperator
+from ..solvers.lanczos import (
+    LanczosEigenSolver,
+    LanczosOptions,
+    LanczosState,
+    _lanczos_chunk_body,
+)
+from ..sparse.bsr import BSRMatrix
+from ..utils.exceptions import EigenexError
+from ..utils.tolerance import default_breakdown_threshold, real_dtype_of
+from .mesh import ROWS, make_mesh
+
+__all__ = [
+    "pad_bsr_for_mesh",
+    "distributed_lanczos_steps",
+    "DistributedLanczosEigenSolver",
+    "halo_matvec",
+]
+
+
+def pad_bsr_for_mesh(bsr: BSRMatrix, n_shards: int) -> BSRMatrix:
+    """Zero-pad block rows/cols so the row count divides evenly over the
+    mesh.  Padding rows are structurally zero — harmless to Krylov."""
+    nbr = bsr.n_block_rows
+    if nbr % n_shards == 0:
+        return bsr
+    pad = n_shards - nbr % n_shards
+    bm, bn = bsr.block_shape
+    data = jnp.concatenate(
+        [bsr.data, jnp.zeros((pad, bsr.k_max, bm, bn), bsr.dtype)], axis=0
+    )
+    cols = jnp.concatenate(
+        [bsr.block_cols, jnp.zeros((pad, bsr.k_max), jnp.int32)], axis=0
+    )
+    m = bsr.shape[0] + pad * bm
+    n = max(bsr.shape[1], m) if bsr.shape[0] == bsr.shape[1] else bsr.shape[1]
+    return BSRMatrix(data, cols, (m, n))
+
+
+def _local_allgather_matvec(params, x_local, *, axis_name, bn):
+    """Local-shard matvec: gather all x shards, apply the local block
+    rows.  Runs inside shard_map."""
+    data, cols = params
+    x = lax.all_gather(x_local, axis_name, tiled=True)  # (n,)
+    xb = x.reshape(-1, bn)[cols]  # (nbr_local, kmax, bn)
+    y = jnp.einsum("rkij,rkj->ri", data, xb, preferred_element_type=data.dtype)
+    return y.reshape(-1)
+
+
+# cache of compiled distributed chunk runners, keyed by static config
+_DIST_CHUNK_CACHE: dict = {}
+
+
+def _get_dist_chunk(mesh, axis_name, num_steps, reorth, has_deflate, bn):
+    key = (mesh, axis_name, num_steps, reorth, has_deflate, bn)
+    fn = _DIST_CHUNK_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def body(data, cols, V, alpha, beta, k, breakdown, shift, bd, deflate):
+        nbr_local, _, bm, _ = data.shape
+        op_local = LinearOperator(
+            partial(_local_allgather_matvec, axis_name=axis_name, bn=bn),
+            (data, cols),
+            (nbr_local * bm, V.shape[1]),
+            V.dtype,
+        )
+        state = LanczosState(V=V, alpha=alpha, beta=beta, k=k, breakdown=breakdown)
+        out = _lanczos_chunk_body(
+            op_local,
+            state,
+            shift,
+            bd,
+            deflate,
+            num_steps=num_steps,
+            reorthogonalize_interval=reorth,
+            has_deflate=has_deflate,
+            axis_name=axis_name,
+        )
+        return out.V, out.alpha, out.beta, out.k, out.breakdown
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name),  # data: block rows sharded
+            P(axis_name),  # block_cols
+            P(None, axis_name),  # V: basis columns (vector entries) sharded
+            P(),  # alpha (replicated)
+            P(),  # beta
+            P(),  # k
+            P(),  # breakdown
+            P(),  # shift
+            P(),  # breakdown threshold
+            P(None, axis_name),  # deflation rows
+        ),
+        out_specs=(P(None, axis_name), P(), P(), P(), P()),
+    )
+    fn = jax.jit(sharded)
+    _DIST_CHUNK_CACHE[key] = fn
+    return fn
+
+
+def distributed_lanczos_steps(
+    bsr: BSRMatrix,
+    state: LanczosState,
+    num_steps: int,
+    mesh: Mesh,
+    *,
+    axis_name: str = ROWS,
+    shift=0.0,
+    breakdown_threshold: float | None = None,
+    reorthogonalize_interval: int = 1,
+    deflate: jax.Array | None = None,
+) -> LanczosState:
+    """Run Lanczos steps with the operator row-partitioned over ``mesh``.
+
+    Same semantics as :func:`eigenex_tpu.solvers.lanczos.lanczos_steps`;
+    the basis is sharded ``P(None, rows)``, α/β/k replicated."""
+    nd = mesh.shape[axis_name]
+    if bsr.n_block_rows % nd:
+        raise EigenexError(
+            f"{bsr.n_block_rows} block rows not divisible by {nd} shards — "
+            "use pad_bsr_for_mesh first"
+        )
+    if bsr.shape[0] != bsr.shape[1]:
+        raise EigenexError("Lanczos requires a square operator")
+    rdt = real_dtype_of(bsr.dtype)
+    if breakdown_threshold is None:
+        breakdown_threshold = default_breakdown_threshold(bsr.dtype)
+    has_deflate = deflate is not None
+    if not has_deflate:
+        deflate = jnp.zeros((0, bsr.shape[1]), bsr.dtype)
+    fn = _get_dist_chunk(
+        mesh, axis_name, int(num_steps), int(reorthogonalize_interval), has_deflate,
+        bsr.block_shape[1],
+    )
+    V, alpha, beta, k, brk = fn(
+        bsr.data,
+        bsr.block_cols,
+        state.V,
+        state.alpha,
+        state.beta,
+        state.k,
+        state.breakdown,
+        jnp.asarray(shift),
+        jnp.asarray(breakdown_threshold, rdt),
+        jnp.asarray(deflate, bsr.dtype),
+    )
+    return LanczosState(V=V, alpha=alpha, beta=beta, k=k, breakdown=brk)
+
+
+class DistributedLanczosEigenSolver(LanczosEigenSolver):
+    """Mesh-parallel Lanczos driver: same host control loop, convergence
+    machinery and result surface as :class:`LanczosEigenSolver`, with the
+    iteration chunk running under ``shard_map`` on a row-partitioned
+    BSR operator."""
+
+    def __init__(
+        self,
+        bsr: BSRMatrix,
+        mesh: Mesh | None = None,
+        options: LanczosOptions | None = None,
+        axis_name: str = ROWS,
+    ):
+        mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
+        super().__init__(bsr.as_linear_operator(use_pallas=False), options)
+        self.bsr = bsr
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def _run_chunk(self, op, state, num_steps, breakdown_threshold):
+        o = self.options
+        return distributed_lanczos_steps(
+            self.bsr,
+            state,
+            num_steps,
+            self.mesh,
+            axis_name=self.axis_name,
+            shift=o.eigenvalue_shift,
+            breakdown_threshold=breakdown_threshold,
+            reorthogonalize_interval=o.reorthogonalize_interval,
+            deflate=self._deflate,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-halo SpMV (banded operators)
+# ---------------------------------------------------------------------------
+def halo_matvec(
+    diag_data,
+    diag_cols,
+    left_data,
+    left_cols,
+    right_data,
+    right_cols,
+    x_local,
+    *,
+    axis_name: str = ROWS,
+    bn: int,
+):
+    """Halo-exchange SpMV for operators whose off-shard column blocks lie
+    only in the adjacent shards (banded matrices, chain Hamiltonians).
+
+    The local rows are split at build time (:func:`split_bsr_halo`) into
+    a diagonal part (columns within the own shard, *local* block-column
+    ids) and left/right parts (columns in the neighbor shards, block-col
+    ids local to that neighbor).  Per matvec, two ``lax.ppermute`` ring
+    shifts move whole x shards one step each way; XLA overlaps these ICI
+    transfers with the local diagonal SpMV that needs no remote data.
+    Bandwidth: 2·n_local per device (vs n for all-gather).
+    """
+    n_dev = lax.psum(1, axis_name)
+    right_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    # x from the left neighbor arrives by shifting right, and vice versa
+    x_from_left = lax.ppermute(x_local, axis_name, right_perm)
+    x_from_right = lax.ppermute(x_local, axis_name, left_perm)
+
+    def ell(data, cols, x):
+        xb = x.reshape(-1, bn)[cols]
+        return jnp.einsum("rkij,rkj->ri", data, xb, preferred_element_type=data.dtype).reshape(-1)
+
+    y = ell(diag_data, diag_cols, x_local)
+    y = y + ell(left_data, left_cols, x_from_left)
+    y = y + ell(right_data, right_cols, x_from_right)
+    return y
+
+
+def split_bsr_halo(bsr: BSRMatrix, n_shards: int):
+    """Host-side split of a row-partitioned BSR matrix into
+    (diagonal, left-halo, right-halo) BSR-ELL parts with *shard-local*
+    block-column ids.  Raises if any block reaches beyond the adjacent
+    shards (use the all-gather path then).
+    """
+    nbr = bsr.n_block_rows
+    if nbr % n_shards:
+        raise EigenexError("pad_bsr_for_mesh before split_bsr_halo")
+    rows_per = nbr // n_shards
+    data = np.asarray(bsr.data)
+    cols = np.asarray(bsr.block_cols)
+    kmax = bsr.k_max
+    bm, bn = bsr.block_shape
+
+    parts = {"diag": [], "left": [], "right": []}
+    kused = {"diag": 0, "left": 0, "right": 0}
+    per_row = {p: [] for p in parts}
+    for r in range(nbr):
+        shard = r // rows_per
+        buckets = {"diag": [], "left": [], "right": []}
+        for k in range(kmax):
+            c = int(cols[r, k])
+            blk = data[r, k]
+            if not np.any(blk):
+                continue
+            src = c // rows_per
+            local_c = c % rows_per
+            if src == shard:
+                buckets["diag"].append((local_c, blk))
+            elif (src - shard) % n_shards == n_shards - 1:
+                buckets["left"].append((local_c, blk))
+            elif (src - shard) % n_shards == 1:
+                buckets["right"].append((local_c, blk))
+            else:
+                raise EigenexError(
+                    f"block row {r} reaches shard {src} (own {shard}) — "
+                    "not neighbor-banded; use the all-gather matvec"
+                )
+        for p in parts:
+            per_row[p].append(buckets[p])
+            kused[p] = max(kused[p], len(buckets[p]))
+
+    out = {}
+    for p in parts:
+        kk = max(kused[p], 1)
+        d = np.zeros((nbr, kk, bm, bn), data.dtype)
+        c = np.zeros((nbr, kk), np.int32)
+        for r, bucket in enumerate(per_row[p]):
+            for slot, (lc, blk) in enumerate(bucket):
+                d[r, slot] = blk
+                c[r, slot] = lc
+        out[p] = (jnp.asarray(d), jnp.asarray(c))
+    return out["diag"], out["left"], out["right"]

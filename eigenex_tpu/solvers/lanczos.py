@@ -540,6 +540,20 @@ class LanczosEigenSolver:
         self.trace.log(Severity.INFO, "continueToCompute: resuming")
         return self._main_loop()
 
+    def _run_chunk(self, op, state, num_steps, breakdown_threshold) -> "LanczosState":
+        """One jitted chunk of iterations; overridden by the distributed
+        solver (eigenex_tpu.parallel.distributed) to run under shard_map."""
+        o = self.options
+        return lanczos_steps(
+            op,
+            state,
+            num_steps,
+            shift=o.eigenvalue_shift,
+            breakdown_threshold=breakdown_threshold,
+            reorthogonalize_interval=o.reorthogonalize_interval,
+            deflate=self._deflate,
+        )
+
     # -- the host control loop (mainCalculation_, lanczos.hpp:740-830) ---
     def _main_loop(self) -> LanczosResult:
         op = self.operator
@@ -601,15 +615,7 @@ class LanczosEigenSolver:
 
             # chunk size is kept constant so _lanczos_chunk compiles once per
             # solver config; steps past m are no-ops inside the loop body
-            self.state = lanczos_steps(
-                op,
-                self.state,
-                o.check_every,
-                shift=o.eigenvalue_shift,
-                breakdown_threshold=bd,
-                reorthogonalize_interval=o.reorthogonalize_interval,
-                deflate=self._deflate,
-            )
+            self.state = self._run_chunk(op, self.state, o.check_every, bd)
 
         # -- extraction (lanczos.hpp:779-817) --------------------------------
         k = int(self.state.k)

@@ -13,10 +13,17 @@ hence at import time.
 """
 
 import os
+import sys
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Drop the axon TPU plugin from the import path entirely: tests must never
+# touch the (single, lock-contended) TPU tunnel, and the plugin ignores
+# JAX_PLATFORMS=cpu if it is importable.
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 

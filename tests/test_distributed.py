@@ -1,0 +1,117 @@
+"""Distributed (shard_map) tests on the 8-virtual-device CPU mesh —
+single-device vs sharded comparisons per SURVEY.md §4d-e."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from eigenex_tpu.parallel import (
+    DistributedLanczosEigenSolver,
+    distributed_lanczos_steps,
+    halo_matvec,
+    make_mesh,
+    pad_bsr_for_mesh,
+    split_bsr_halo,
+)
+from eigenex_tpu.solvers.lanczos import (
+    LanczosOptions,
+    init_lanczos_state,
+    lanczos_steps,
+)
+from eigenex_tpu.sparse import bsr_from_coo_arrays
+
+
+def laplacian_bsr(n, bs, dtype=np.float64):
+    r = np.arange(n)
+    rows = np.concatenate([r, r[:-1], r[1:]])
+    cols = np.concatenate([r, r[1:], r[:-1]])
+    vals = np.concatenate([2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)]).astype(dtype)
+    return bsr_from_coo_arrays(rows, cols, vals, (n, n), (bs, bs))
+
+
+@pytest.fixture
+def mesh():
+    return make_mesh(8, devices=jax.devices("cpu"))
+
+
+class TestDistributedMatvec:
+    def test_allgather_matvec_matches_local(self, mesh):
+        from eigenex_tpu.parallel.distributed import _local_allgather_matvec
+
+        bsr = pad_bsr_for_mesh(laplacian_bsr(64, 4), 8)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(bsr.shape[1]))
+        f = shard_map(
+            lambda d, c, x: _local_allgather_matvec((d, c), x, axis_name="rows", bn=4),
+            mesh=mesh,
+            in_specs=(P("rows"), P("rows"), P("rows")),
+            out_specs=P("rows"),
+        )
+        np.testing.assert_allclose(f(bsr.data, bsr.block_cols, x), bsr.matvec(x), atol=1e-12)
+
+    def test_halo_matvec_matches_local(self, mesh):
+        bsr = pad_bsr_for_mesh(laplacian_bsr(64, 4), 8)
+        diag, left, right = split_bsr_halo(bsr, 8)
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(bsr.shape[1]))
+        f = shard_map(
+            lambda dd, dc, ld, lc, rd, rc, x: halo_matvec(
+                dd, dc, ld, lc, rd, rc, x, axis_name="rows", bn=4
+            ),
+            mesh=mesh,
+            in_specs=(P("rows"),) * 6 + (P("rows"),),
+            out_specs=P("rows"),
+        )
+        y = f(diag[0], diag[1], left[0], left[1], right[0], right[1], x)
+        np.testing.assert_allclose(y, bsr.matvec(x), atol=1e-12)
+
+    def test_split_halo_rejects_nonbanded(self):
+        # a dense-ish row reaching shard +2 must be rejected
+        n = 32
+        rows = np.array([0])
+        cols = np.array([16])  # block col 4 with bs=4 → shard 2 of 8 (rows_per=1)
+        vals = np.array([1.0])
+        bsr = bsr_from_coo_arrays(rows, cols, vals, (n, n), (4, 4))
+        from eigenex_tpu.utils.exceptions import EigenexError
+
+        with pytest.raises(EigenexError):
+            split_bsr_halo(bsr, 8)
+
+
+class TestDistributedLanczos:
+    def test_steps_match_single_device(self, mesh):
+        """Same state in ⇒ bit-comparable state out (the determinism test
+        that replaces race detection, SURVEY.md §5)."""
+        bsr = pad_bsr_for_mesh(laplacian_bsr(64, 4), 8)
+        op = bsr.as_linear_operator(use_pallas=False)
+        v0 = np.random.default_rng(2).standard_normal(bsr.shape[1])
+        s0 = init_lanczos_state(op, 20, v0=jnp.asarray(v0))
+        s_ref = lanczos_steps(op, s0, 12)
+        s_dist = distributed_lanczos_steps(bsr, s0, 12, mesh)
+        assert int(s_dist.k) == int(s_ref.k) == 12
+        np.testing.assert_allclose(s_dist.alpha, s_ref.alpha, atol=1e-12)
+        np.testing.assert_allclose(s_dist.beta, s_ref.beta, atol=1e-12)
+        np.testing.assert_allclose(s_dist.V, s_ref.V, atol=1e-11)
+
+    def test_distributed_solver_end_to_end(self, mesh):
+        n = 64
+        bsr = laplacian_bsr(n, 4)
+        solver = DistributedLanczosEigenSolver(
+            bsr,
+            mesh,
+            LanczosOptions(max_eigenvalues=3, tolerance=1e-14, max_subspace=n, seed=0),
+        )
+        res = solver.compute()
+        exact = np.array([2 - 2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(3)])
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-10)
+
+    def test_distributed_with_deflation(self, mesh):
+        n = 64
+        bsr = laplacian_bsr(n, 4)
+        ev, evec = np.linalg.eigh(np.asarray(bsr.to_dense()))
+        solver = DistributedLanczosEigenSolver(
+            bsr, mesh, LanczosOptions(max_eigenvalues=1, tolerance=1e-14, max_subspace=n, seed=1)
+        ).set_orthogonalizing_vectors(jnp.asarray(evec[:, :1].T))
+        res = solver.compute()
+        np.testing.assert_allclose(res.eigenvalues[0], ev[1], atol=1e-9)
