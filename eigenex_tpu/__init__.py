@@ -42,6 +42,7 @@ from .parallel import (
 )
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
 from .solvers.cg import cg_solve, shift_invert_operator
+from .solvers.restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
 from .utils.checkpoint import load_state, save_state
 from .solvers.functions import (
     LanczosExponentialSolver,

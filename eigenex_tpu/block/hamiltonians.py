@@ -63,6 +63,18 @@ def heisenberg_sector_coo(
     matrix over the sector basis."""
     if Jz is None:
         Jz = J
+    if np.dtype(dtype) == np.float64:
+        from .. import native
+
+        if native.native_available():
+            r, c, v, dim = native.heisenberg_sector(L, n_up, J, Jz, pbc)
+            order = np.lexsort((c, r))
+            return COOMatrix(
+                jnp.asarray(r[order].astype(np.int32)),
+                jnp.asarray(c[order].astype(np.int32)),
+                jnp.asarray(v[order]),
+                (dim, dim),
+            )
     states = sz_sector_basis(L, n_up)
     index = {int(s): i for i, s in enumerate(states)}
     dim = len(states)

@@ -1,0 +1,114 @@
+"""ctypes loader for the native host-side builders.
+
+Compiles ``src/builders.cpp`` with g++ on first import (cached as a
+shared library next to the source; no pip/pybind11 involved) and exposes
+typed wrappers.  Every entry point has a pure-NumPy fallback at its call
+site — ``NATIVE is None`` simply routes there, so the package works on
+machines without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["NATIVE", "native_available", "coo_shrink", "bsr_pack", "heisenberg_sector"]
+
+_SRC = Path(__file__).parent / "src" / "builders.cpp"
+_LIB = Path(__file__).parent / "libeigenex_native.so"
+
+
+def _build() -> bool:
+    try:
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+            str(_SRC), "-o", str(_LIB),
+        ]
+        res = subprocess.run(cmd, capture_output=True, timeout=120)
+        if res.returncode != 0:
+            sys.stderr.write(f"eigenex_tpu.native build failed:\n{res.stderr.decode()[:2000]}\n")
+            return False
+        return True
+    except Exception as e:  # no toolchain, sandboxed fs, ...
+        sys.stderr.write(f"eigenex_tpu.native build unavailable: {e}\n")
+        return False
+
+
+def _load():
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.coo_shrink.restype = i64
+    lib.coo_shrink.argtypes = [p_i64, p_i64, p_f64, i64, i64, ctypes.c_double]
+    lib.bsr_kmax.restype = i64
+    lib.bsr_kmax.argtypes = [p_i64, p_i64, i64, i64, i64, i64, i64]
+    lib.bsr_pack.restype = i64
+    lib.bsr_pack.argtypes = [p_i64, p_i64, p_f64, i64, i64, i64, i64, i64, i64, p_f64, p_i32]
+    lib.heisenberg_sector.restype = i64
+    lib.heisenberg_sector.argtypes = [i64, i64, ctypes.c_double, ctypes.c_double, i64, p_i64, p_i64, p_f64]
+    return lib
+
+
+NATIVE = None if os.environ.get("EIGENEX_TPU_NO_NATIVE") else _load()
+
+
+def native_available() -> bool:
+    return NATIVE is not None
+
+
+def coo_shrink(rows, cols, vals, n_cols: int, threshold: float):
+    """Sort row-major, merge duplicates, drop small entries (native).
+    Returns (rows, cols, vals) trimmed copies."""
+    # the C function sorts/merges IN PLACE — always hand it private copies
+    rows = np.array(rows, np.int64, copy=True, order="C")
+    cols = np.array(cols, np.int64, copy=True, order="C")
+    vals = np.array(vals, np.float64, copy=True, order="C")
+    kept = NATIVE.coo_shrink(rows, cols, vals, len(vals), int(n_cols), float(threshold))
+    return rows[:kept].copy(), cols[:kept].copy(), vals[:kept].copy()
+
+
+def bsr_pack(rows, cols, vals, shape, block_shape):
+    """Pack float64 triplets into BSR-ELL (native).  Returns (data, block_cols)."""
+    bm, bn = block_shape
+    m = -(-shape[0] // bm) * bm
+    n = -(-shape[1] // bn) * bn
+    nbr, nbc = m // bm, n // bn
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    kmax = NATIVE.bsr_kmax(rows, cols, len(vals), bm, bn, nbr, nbc)
+    data = np.zeros((nbr, kmax, bm, bn), np.float64)
+    bcols = np.zeros((nbr, kmax), np.int32)
+    rc = NATIVE.bsr_pack(rows, cols, vals, len(vals), bm, bn, nbr, nbc, kmax, data, bcols)
+    if rc != 0:
+        raise RuntimeError(f"bsr_pack failed with code {rc}")
+    return data, bcols, (m, n)
+
+
+def heisenberg_sector(L: int, n_up: int, J: float, Jz: float, pbc: bool):
+    """Sector Hamiltonian triplets (native).  Returns (rows, cols, vals, dim)."""
+    from math import comb
+
+    dim = comb(L, n_up)
+    n_bonds = (L - 1) + (1 if pbc and L > 2 else 0)
+    cap = dim * (1 + n_bonds)
+    rows = np.zeros(cap, np.int64)
+    cols = np.zeros(cap, np.int64)
+    vals = np.zeros(cap, np.float64)
+    nnz = NATIVE.heisenberg_sector(L, n_up, float(J), float(Jz), int(bool(pbc)), rows, cols, vals)
+    if nnz < 0:
+        raise RuntimeError(f"heisenberg_sector failed with code {nnz}")
+    return rows[:nnz], cols[:nnz], vals[:nnz], dim

@@ -1,0 +1,182 @@
+// Native host-side builders for eigenex_tpu.
+//
+// The reference is header-only C++ whose only "runtime" is portable
+// template math (SURVEY.md §2 language note); the TPU build keeps all
+// device compute in XLA/Pallas, but the HOST-side assembly of large
+// operators (COO sort/merge, BSR-ELL packing, sector-Hamiltonian
+// enumeration) is O(nnz) pointer-chasing that pure Python/NumPy does
+// 10-100x slower than compiled code.  These functions are that native
+// runtime: a plain C ABI (no pybind11 in this image) consumed via
+// ctypes with a NumPy-only fallback (eigenex_tpu/native/__init__.py).
+//
+// Functional analogs in the reference:
+//   coo_shrink       ~ TripletsMatrix::shrink  (triplets_matrix.hpp:238-296)
+//   bsr_kmax/pack    ~ (net-new: the BSR-ELL layout has no reference analog)
+//   heisenberg_sector~ (net-new: BASELINE config 3 builder)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cmath>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+extern "C" {
+
+// Sort triplets row-major, merge duplicates, drop |v| <= threshold.
+// rows/cols/vals are length nnz; outputs written in place; returns the
+// merged count.
+int64_t coo_shrink(int64_t* rows, int64_t* cols, double* vals, int64_t nnz,
+                   int64_t n_cols, double threshold) {
+  std::vector<int64_t> order(nnz);
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    const __int128 ka = (__int128)rows[a] * n_cols + cols[a];
+    const __int128 kb = (__int128)rows[b] * n_cols + cols[b];
+    return ka < kb;
+  });
+  int64_t out = -1;
+  int64_t prev_r = -1, prev_c = -1;
+  std::vector<int64_t> r2(nnz), c2(nnz);
+  std::vector<double> v2(nnz);
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t j = order[i];
+    if (rows[j] == prev_r && cols[j] == prev_c) {
+      v2[out] += vals[j];
+    } else {
+      ++out;
+      r2[out] = rows[j];
+      c2[out] = cols[j];
+      v2[out] = vals[j];
+      prev_r = rows[j];
+      prev_c = cols[j];
+    }
+  }
+  const int64_t merged = out + 1;
+  int64_t kept = 0;
+  for (int64_t i = 0; i < merged; ++i) {
+    if (std::abs(v2[i]) > threshold) {
+      rows[kept] = r2[i];
+      cols[kept] = c2[i];
+      vals[kept] = v2[i];
+      ++kept;
+    }
+  }
+  return kept;
+}
+
+// Max number of distinct column blocks in any block row (the ELL width).
+int64_t bsr_kmax(const int64_t* rows, const int64_t* cols, int64_t nnz,
+                 int64_t bm, int64_t bn, int64_t nbr, int64_t nbc) {
+  std::vector<std::vector<int64_t>> seen(nbr);
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t br = rows[i] / bm;
+    const int64_t bc = cols[i] / bn;
+    if (br < 0 || br >= nbr) continue;
+    auto& v = seen[br];
+    if (std::find(v.begin(), v.end(), bc) == v.end()) v.push_back(bc);
+  }
+  int64_t kmax = 1;
+  for (const auto& v : seen) kmax = std::max<int64_t>(kmax, (int64_t)v.size());
+  return kmax;
+}
+
+// Pack triplets into BSR-ELL: data (nbr, kmax, bm, bn) zero-initialised by
+// the caller, block_cols (nbr, kmax) zero-initialised.  Duplicates
+// accumulate.  Returns 0 on success, -1 if a row exceeds kmax slots.
+int64_t bsr_pack(const int64_t* rows, const int64_t* cols, const double* vals,
+                 int64_t nnz, int64_t bm, int64_t bn, int64_t nbr, int64_t nbc,
+                 int64_t kmax, double* data, int32_t* block_cols) {
+  std::vector<std::vector<int64_t>> slot_of(nbr);  // block col per used slot
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t br = rows[i] / bm;
+    const int64_t bc = cols[i] / bn;
+    if (br < 0 || br >= nbr || bc < 0 || bc >= nbc) return -2;
+    auto& slots = slot_of[br];
+    int64_t s = -1;
+    for (int64_t k = 0; k < (int64_t)slots.size(); ++k) {
+      if (slots[k] == bc) { s = k; break; }
+    }
+    if (s < 0) {
+      if ((int64_t)slots.size() >= kmax) return -1;
+      s = (int64_t)slots.size();
+      slots.push_back(bc);
+      block_cols[br * kmax + s] = (int32_t)bc;
+    }
+    const int64_t ir = rows[i] % bm;
+    const int64_t ic = cols[i] % bn;
+    data[((br * kmax + s) * bm + ir) * bn + ic] += vals[i];
+  }
+  return 0;
+}
+
+static inline int popcount64(uint64_t x) {
+#if defined(__GNUC__)
+  return __builtin_popcountll(x);
+#else
+  int c = 0;
+  while (x) { x &= x - 1; ++c; }
+  return c;
+#endif
+}
+
+// Enumerate the XXZ-chain Hamiltonian in the (L, n_up) magnetization
+// sector.  Caller allocates rows/cols/vals with capacity
+// dim * (1 + n_bonds); returns the actual nnz (or -1 if L > 62).
+// Basis states are the bitmasks with n_up set bits, ascending; indices
+// are positions in that ordering.
+int64_t heisenberg_sector(int64_t L, int64_t n_up, double J, double Jz,
+                          int64_t pbc, int64_t* rows, int64_t* cols,
+                          double* vals) {
+  if (L > 62 || n_up < 0 || n_up > L) return -1;
+  // enumerate sector states (Gosper's hack for same-popcount successor)
+  std::vector<uint64_t> states;
+  if (n_up == 0) {
+    states.push_back(0);
+  } else {
+    uint64_t v = (1ULL << n_up) - 1;
+    const uint64_t limit = 1ULL << L;
+    while (v < limit) {
+      states.push_back(v);
+      const uint64_t t = v | (v - 1);
+      v = (t + 1) | (((~t & (t + 1)) - 1) >> (__builtin_ctzll(v) + 1));
+      if (v == 0) break;
+    }
+  }
+  const int64_t dim = (int64_t)states.size();
+  // index lookup by binary search (states ascending)
+  auto index_of = [&](uint64_t s) -> int64_t {
+    return (int64_t)(std::lower_bound(states.begin(), states.end(), s) -
+                     states.begin());
+  };
+  std::vector<std::pair<int, int>> bonds;
+  for (int i = 0; i + 1 < L; ++i) bonds.push_back({i, i + 1});
+  if (pbc && L > 2) bonds.push_back({(int)L - 1, 0});
+
+  int64_t nnz = 0;
+  for (int64_t a = 0; a < dim; ++a) {
+    const uint64_t s = states[a];
+    double diag = 0.0;
+    for (const auto& b : bonds) {
+      const double szi = ((s >> b.first) & 1) - 0.5;
+      const double szj = ((s >> b.second) & 1) - 0.5;
+      diag += Jz * szi * szj;
+      if ((((s >> b.first) ^ (s >> b.second)) & 1) != 0) {
+        const uint64_t flipped =
+            s ^ ((1ULL << b.first) | (1ULL << b.second));
+        rows[nnz] = index_of(flipped);
+        cols[nnz] = a;
+        vals[nnz] = J / 2.0;
+        ++nnz;
+      }
+    }
+    rows[nnz] = a;
+    cols[nnz] = a;
+    vals[nnz] = diag;
+    ++nnz;
+  }
+  return nnz;
+}
+
+}  // extern "C"

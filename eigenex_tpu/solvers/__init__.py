@@ -16,6 +16,8 @@ from .functions import (
     taylor_expmv,
     taylor_expmv_auto,
 )
+from .cg import cg_solve, shift_invert_operator
+from .restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
 from .lanczos import (
     UNLIMITED,
     LanczosEigenSolver,

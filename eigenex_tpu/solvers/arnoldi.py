@@ -88,17 +88,21 @@ class ArnoldiResult:
         (sample_arnoldi.cpp:42-52)."""
         if self.eigenvectors is None:
             raise ArnoldiError("eigenvectors were not computed")
-        X = self.eigenvectors
-        lam = jnp.asarray(self.eigenvalues)
-        if jnp.iscomplexobj(X) and not jnp.issubdtype(op.dtype, jnp.complexfloating):
+        # combine on host: complex arithmetic is unsupported on some TPU
+        # backends, and this is a one-shot diagnostic
+        X = np.asarray(self.eigenvectors)
+        lam = np.asarray(self.eigenvalues)
+        if np.iscomplexobj(X) and not jnp.issubdtype(op.dtype, jnp.complexfloating):
             # complex Ritz vectors over a real operator: apply to re/im parts
-            ax = op.matmat(jnp.real(X)) + 1j * op.matmat(jnp.imag(X))
+            ax = np.asarray(op.matmat(jnp.asarray(X.real, op.dtype))) + 1j * np.asarray(
+                op.matmat(jnp.asarray(X.imag, op.dtype))
+            )
         else:
-            ax = op.matmat(X)
-        if not jnp.iscomplexobj(X):
-            lam = jnp.real(lam)
+            ax = np.asarray(op.matmat(jnp.asarray(X, op.dtype)))
+            if not np.iscomplexobj(X):
+                lam = lam.real
         r = ax - X * lam[None, :]
-        return np.asarray(jnp.linalg.norm(r, axis=0))
+        return np.linalg.norm(r, axis=0)
 
 
 def init_arnoldi_state(
@@ -226,14 +230,25 @@ def _formal_indices(indices, count):
     return out
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _lift_ritz(V: jax.Array, Y: jax.Array, k: int) -> jax.Array:
+def _lift_ritz(V: jax.Array, Y: np.ndarray, k: int) -> np.ndarray:
     """x_j = Σ_m Y[m,j] V[m] (arnoldi.hpp:841-851) + normalize/phase-fix
-    (:853-865)."""
-    Vc = V[:k].astype(Y.dtype)
-    X = Vc.T @ Y
-    X = X / jnp.linalg.norm(X, axis=0, keepdims=True)
-    return _phase_fix(X)
+    (:853-865).
+
+    Runs on HOST NumPy: Ritz lifting happens once per solve (not a hot
+    path), Y is complex in general, and the TPU backend (notably the
+    experimental axon platform) lacks complex support — a single
+    device→host pull of the basis is the robust choice."""
+    Vh = np.asarray(V[:k])
+    X = Vh.T @ np.asarray(Y)
+    X = X / np.linalg.norm(X, axis=0, keepdims=True)
+    # phase fix: first significantly-nonzero coefficient made real-positive
+    absX = np.abs(X)
+    thresh = absX.max(axis=0, keepdims=True) * 1e-6
+    first = np.argmax(absX > thresh, axis=0)
+    lead = X[first, np.arange(X.shape[1])]
+    denom = np.abs(lead)
+    phase = np.where(denom > 0, lead / np.where(denom > 0, denom, 1), 1.0)
+    return X * np.conj(phase)[None, :]
 
 
 class ArnoldiEigenSolver:
@@ -442,7 +457,7 @@ class ArnoldiEigenSolver:
         evals_out = evals[chosen] - complex(o.eigenvalue_shift)
         vecs = None
         if o.compute_eigenvectors:
-            vecs = _lift_ritz(self.state.V, jnp.asarray(Y[:, chosen]), k)
+            vecs = _lift_ritz(self.state.V, Y[:, chosen], k)
         self._result = ArnoldiResult(
             eigenvalues=evals_out,
             eigenvectors=vecs,

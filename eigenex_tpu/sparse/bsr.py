@@ -150,6 +150,17 @@ def bsr_from_coo_arrays(
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
     val = np.asarray(val, dtype)
+    if val.dtype == np.float64 or val.dtype == np.float32:
+        # fast native packer (eigenex_tpu/native); same output layout
+        from .. import native
+
+        if native.native_available():
+            data, bcols, (m2, n2) = native.bsr_pack(
+                row, col, val.astype(np.float64), shape, block_shape
+            )
+            return BSRMatrix(
+                jnp.asarray(data.astype(val.dtype)), jnp.asarray(bcols), shape=(m2, n2)
+            )
     br, bc = row // bm, col // bn
     ir, ic = row % bm, col % bn
     # group triplets by (block_row, block_col)

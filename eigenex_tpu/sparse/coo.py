@@ -93,7 +93,16 @@ class COOBuilder:
         r = np.asarray(self._r, np.int32)
         c = np.asarray(self._c, np.int32)
         v = np.asarray(self._v, self.dtype)
-        r, c, v = _shrink(r, c, v, self.rows, self.cols, threshold)
+        if v.dtype == np.float64 and r.size:
+            from .. import native
+
+            if native.native_available():
+                r64, c64, v = native.coo_shrink(r, c, v, self.cols, threshold)
+                r, c = r64.astype(np.int32), c64.astype(np.int32)
+            else:
+                r, c, v = _shrink(r, c, v, self.rows, self.cols, threshold)
+        else:
+            r, c, v = _shrink(r, c, v, self.rows, self.cols, threshold)
         return COOMatrix(
             jnp.asarray(r), jnp.asarray(c), jnp.asarray(v), shape=(self.rows, self.cols)
         )
