@@ -110,6 +110,14 @@ def main():
     xla_chain = make_chained(lambda b, v: b.matvec(v))
     t_xla = time_fn(xla_chain, bsr, x)
 
+    # bf16 storage, f32 accumulation: SpMV is HBM-bound, so halving the
+    # stored bytes ~doubles nnz/s
+    bsr16 = bsr.astype(jnp.bfloat16)
+    y16 = bsr16.matvec(x)
+    y32 = bsr.matvec(x)
+    err16 = float(jnp.linalg.norm(y16 - y32) / jnp.linalg.norm(y32))
+    t_bf16 = time_fn(make_chained(lambda b, v: b.matvec(v)), bsr16, x)
+
     t_pallas = None
     try:
         from eigenex_tpu.ops.pallas_spmv import bsr_matvec_pallas
@@ -124,12 +132,13 @@ def main():
     except Exception as e:  # pallas unavailable (non-TPU backend etc.)
         print(f"# pallas path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
 
-    best = min([t for t in (t_xla, t_pallas) if t is not None])
+    best = min([t for t in (t_xla, t_pallas, t_bf16) if t is not None])
     nnz_per_s = nnz / best
     baseline = serial_scatter_baseline()
     print(
-        f"# xla: {nnz/t_xla/1e9:.2f} Gnnz/s"
+        f"# xla f32: {nnz/t_xla/1e9:.2f} Gnnz/s"
         + (f", pallas: {nnz/t_pallas/1e9:.2f} Gnnz/s" if t_pallas else "")
+        + f", xla bf16: {nnz/t_bf16/1e9:.2f} Gnnz/s (rel err {err16:.1e})"
         + f", serial-scatter baseline: {baseline/1e6:.1f} Mnnz/s",
         file=sys.stderr,
     )

@@ -165,6 +165,12 @@ class LinearOperator:
         return self.scaled(c)
 
     def scaled(self, c) -> "LinearOperator":
+        if isinstance(c, (int, float, complex)) and c == 0:
+            # zero short-circuit: drop the inner operator entirely
+            # (cf. VectorMap::scalarMultiple vector_map.hpp:192-203)
+            return LinearOperator(
+                _zero_matvec, None, self.shape, self.dtype, rmatvec_fn=_zero_rmatvec
+            )
         return LinearOperator(
             _scale_matvec,
             (self, jnp.asarray(c, self.dtype)),
@@ -207,6 +213,13 @@ def _compose_matvec(params, x):
 def _compose_rmatvec(params, x):
     a, b = params
     return b.rmatvec(a.rmatvec(x))
+
+
+def _zero_matvec(_, x):
+    return jnp.zeros_like(x)
+
+
+_zero_rmatvec = _zero_matvec
 
 
 def _scale_matvec(params, x):

@@ -68,6 +68,7 @@ def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
         return bsr.matvec(x)
     nbc = bsr.n_block_cols
     x2 = x.astype(bsr.dtype).reshape(nbc, bn)
+    out_dtype = jnp.float32 if bsr.dtype == jnp.bfloat16 else bsr.dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -84,7 +85,7 @@ def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
     )
     y = pl.pallas_call(
         partial(_spmv_kernel, kmax, R),
-        out_shape=jax.ShapeDtypeStruct((nbr, bm), bsr.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbr, bm), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

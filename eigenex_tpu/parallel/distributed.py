@@ -87,20 +87,35 @@ def _local_allgather_matvec(params, x_local, *, axis_name, bn):
 _DIST_CHUNK_CACHE: dict = {}
 
 
-def _get_dist_chunk(mesh, axis_name, num_steps, reorth, has_deflate, bn):
-    key = (mesh, axis_name, num_steps, reorth, has_deflate, bn)
+def _get_dist_chunk(mesh, axis_name, num_steps, reorth, has_deflate, bn, mode):
+    key = (mesh, axis_name, num_steps, reorth, has_deflate, bn, mode)
     fn = _DIST_CHUNK_CACHE.get(key)
     if fn is not None:
         return fn
 
-    def body(data, cols, V, alpha, beta, k, breakdown, shift, bd, deflate):
-        nbr_local, _, bm, _ = data.shape
-        op_local = LinearOperator(
-            partial(_local_allgather_matvec, axis_name=axis_name, bn=bn),
-            (data, cols),
-            (nbr_local * bm, V.shape[1]),
-            V.dtype,
-        )
+    n_op_args = 2 if mode == "allgather" else 6
+
+    def body(*args):
+        op_arrays = args[:n_op_args]
+        V, alpha, beta, k, breakdown, shift, bd, deflate = args[n_op_args:]
+        if mode == "allgather":
+            data, cols = op_arrays
+            nbr_local, _, bm, _ = data.shape
+            op_local = LinearOperator(
+                partial(_local_allgather_matvec, axis_name=axis_name, bn=bn),
+                (data, cols),
+                (nbr_local * bm, V.shape[1]),
+                V.dtype,
+            )
+        else:  # halo: diagonal part + left/right neighbor parts
+            dd, dc, ld, lc, rd, rc = op_arrays
+            nbr_local, _, bm, _ = dd.shape
+            op_local = LinearOperator(
+                lambda p, x: halo_matvec(*p, x, axis_name=axis_name, bn=bn),
+                (dd, dc, ld, lc, rd, rc),
+                (nbr_local * bm, V.shape[1]),
+                V.dtype,
+            )
         state = LanczosState(V=V, alpha=alpha, beta=beta, k=k, breakdown=breakdown)
         out = _lanczos_chunk_body(
             op_local,
@@ -118,9 +133,8 @@ def _get_dist_chunk(mesh, axis_name, num_steps, reorth, has_deflate, bn):
     sharded = shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            P(axis_name),  # data: block rows sharded
-            P(axis_name),  # block_cols
+        in_specs=(P(axis_name),) * n_op_args  # operator arrays: block rows sharded
+        + (
             P(None, axis_name),  # V: basis columns (vector entries) sharded
             P(),  # alpha (replicated)
             P(),  # beta
@@ -148,11 +162,20 @@ def distributed_lanczos_steps(
     breakdown_threshold: float | None = None,
     reorthogonalize_interval: int = 1,
     deflate: jax.Array | None = None,
+    matvec_mode: str = "allgather",
+    halo_parts=None,
 ) -> LanczosState:
     """Run Lanczos steps with the operator row-partitioned over ``mesh``.
 
     Same semantics as :func:`eigenex_tpu.solvers.lanczos.lanczos_steps`;
-    the basis is sharded ``P(None, rows)``, α/β/k replicated."""
+    the basis is sharded ``P(None, rows)``, α/β/k replicated.
+
+    ``matvec_mode``: "allgather" (general sparsity) or "halo"
+    (neighbor-banded operators: ppermute boundary exchange overlapped
+    with the local diagonal SpMV — BASELINE config 5's halo-overlapped
+    SpMV).  Halo requires the operator's column blocks to reach only the
+    adjacent shards (checked at split time).
+    """
     nd = mesh.shape[axis_name]
     if bsr.n_block_rows % nd:
         raise EigenexError(
@@ -161,6 +184,8 @@ def distributed_lanczos_steps(
         )
     if bsr.shape[0] != bsr.shape[1]:
         raise EigenexError("Lanczos requires a square operator")
+    if matvec_mode not in ("allgather", "halo"):
+        raise EigenexError(f"unknown matvec_mode {matvec_mode!r}")
     rdt = real_dtype_of(bsr.dtype)
     if breakdown_threshold is None:
         breakdown_threshold = default_breakdown_threshold(bsr.dtype)
@@ -169,11 +194,15 @@ def distributed_lanczos_steps(
         deflate = jnp.zeros((0, bsr.shape[1]), bsr.dtype)
     fn = _get_dist_chunk(
         mesh, axis_name, int(num_steps), int(reorthogonalize_interval), has_deflate,
-        bsr.block_shape[1],
+        bsr.block_shape[1], matvec_mode,
     )
+    if matvec_mode == "halo":
+        diag, left, right = halo_parts if halo_parts is not None else split_bsr_halo(bsr, nd)
+        op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
+    else:
+        op_arrays = (bsr.data, bsr.block_cols)
     V, alpha, beta, k, brk = fn(
-        bsr.data,
-        bsr.block_cols,
+        *op_arrays,
         state.V,
         state.alpha,
         state.beta,
@@ -198,6 +227,7 @@ class DistributedLanczosEigenSolver(LanczosEigenSolver):
         mesh: Mesh | None = None,
         options: LanczosOptions | None = None,
         axis_name: str = ROWS,
+        matvec_mode: str = "allgather",
     ):
         mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
@@ -205,6 +235,10 @@ class DistributedLanczosEigenSolver(LanczosEigenSolver):
         self.bsr = bsr
         self.mesh = mesh
         self.axis_name = axis_name
+        self.matvec_mode = matvec_mode
+        self._halo_parts = (
+            split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
+        )
 
     def _run_chunk(self, op, state, num_steps, breakdown_threshold):
         o = self.options
@@ -218,6 +252,8 @@ class DistributedLanczosEigenSolver(LanczosEigenSolver):
             breakdown_threshold=breakdown_threshold,
             reorthogonalize_interval=o.reorthogonalize_interval,
             deflate=self._deflate,
+            matvec_mode=self.matvec_mode,
+            halo_parts=self._halo_parts,
         )
 
 

@@ -251,7 +251,8 @@ def _lanczos_chunk_body(
     def step(state: LanczosState) -> LanczosState:
         k = state.k
         vk = state.V[k]
-        w = op.matvec(vk) + jnp.asarray(shift, dtype) * vk
+        with jax.named_scope("lanczos/matvec"):
+            w = op.matvec(vk) + jnp.asarray(shift, dtype) * vk
         alpha_k = psum_if(jnp.real(jnp.vdot(vk, w))).astype(rdt)
         # three-term recurrence (beta[k-1] term masked out at k == 0)
         km1 = jnp.maximum(k - 1, 0)
@@ -265,7 +266,8 @@ def _lanczos_chunk_body(
             mask = row_ids <= k
 
             def reorth(w):
-                w2, _ = cgs2(state.V, w, axis_name=axis_name, mask=mask)
+                with jax.named_scope("lanczos/reorth"):
+                    w2, _ = cgs2(state.V, w, axis_name=axis_name, mask=mask)
                 return w2
 
             if reorthogonalize_interval == 1:

@@ -67,22 +67,37 @@ class BSRMatrix:
         """Stored (padded) entries — the work the device actually does."""
         return int(np.prod(self.data.shape))
 
+    @property
+    def _acc_dtype(self):
+        """Accumulation dtype: low-precision storage (bf16/f16) still
+        accumulates in f32 — SpMV is HBM-bound, so halving storage bytes
+        nearly doubles nnz/s while the MXU accumulates at full f32."""
+        if self.dtype in (jnp.bfloat16, jnp.float16):
+            return jnp.float32
+        return self.dtype
+
+    def astype(self, dtype) -> "BSRMatrix":
+        """Recast stored blocks (e.g. to bfloat16 for 2x SpMV bandwidth)."""
+        return BSRMatrix(self.data.astype(dtype), self.block_cols, self.shape)
+
     def matvec(self, x: jax.Array) -> jax.Array:
         """y = A @ x via gather + batched block matmul (XLA path)."""
         bm, bn = self.block_shape
+        acc = self._acc_dtype
         xb = x.reshape(self.n_block_cols, bn)
         gathered = xb[self.block_cols]  # (nbr, kmax, bn)
         y = jnp.einsum(
             "rkij,rkj->ri",
             self.data,
             gathered.astype(self.dtype),
-            preferred_element_type=self.dtype,
+            preferred_element_type=acc,
         )
-        return y.reshape(self.shape[0])
+        return y.reshape(self.shape[0]).astype(acc)
 
     def matmat(self, X: jax.Array) -> jax.Array:
         """A @ X for (n, p) dense X — block-batched MXU matmuls."""
         bm, bn = self.block_shape
+        acc = self._acc_dtype
         p = X.shape[1]
         xb = X.reshape(self.n_block_cols, bn, p)
         gathered = xb[self.block_cols]  # (nbr, kmax, bn, p)
@@ -90,9 +105,9 @@ class BSRMatrix:
             "rkij,rkjp->rip",
             self.data,
             gathered.astype(self.dtype),
-            preferred_element_type=self.dtype,
+            preferred_element_type=acc,
         )
-        return y.reshape(self.shape[0], p)
+        return y.reshape(self.shape[0], p).astype(acc)
 
     def as_linear_operator(self, use_pallas: bool | None = None) -> LinearOperator:
         if use_pallas is None:

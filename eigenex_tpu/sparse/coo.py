@@ -213,6 +213,17 @@ class COOMatrix:
         d = jnp.zeros(self.shape, self.dtype)
         return d.at[self.row, self.col].add(self.val)
 
+    def to_scipy(self):
+        """scipy.sparse.coo_matrix view (cf. makeSparseMatrix
+        triplets_matrix.hpp:445-450, which converts to Eigen's sparse
+        type — SciPy is the Python-ecosystem analog)."""
+        import scipy.sparse as sp
+
+        return sp.coo_matrix(
+            (np.asarray(self.val), (np.asarray(self.row), np.asarray(self.col))),
+            shape=self.shape,
+        )
+
     def as_linear_operator(self) -> LinearOperator:
         """The solver bridge (cf. makeMatMulFunction triplets_matrix.hpp:373-380)."""
         return LinearOperator(

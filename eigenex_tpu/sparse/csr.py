@@ -57,6 +57,17 @@ class CSRMatrix:
     def to_dense(self) -> jax.Array:
         return self.to_coo().to_dense()
 
+    def to_scipy(self):
+        """scipy.sparse.csr_matrix view (cf. makeSparseMatrix
+        triplets_matrix.hpp:445-450)."""
+        import numpy as np
+        import scipy.sparse as sp
+
+        return sp.csr_matrix(
+            (np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)),
+            shape=self.shape,
+        )
+
     def as_linear_operator(self) -> LinearOperator:
         return LinearOperator(
             lambda p, x: p.matvec(x),

@@ -115,3 +115,28 @@ class TestDistributedLanczos:
         ).set_orthogonalizing_vectors(jnp.asarray(evec[:, :1].T))
         res = solver.compute()
         np.testing.assert_allclose(res.eigenvalues[0], ev[1], atol=1e-9)
+
+
+class TestHaloLanczos:
+    def test_halo_mode_matches_allgather(self, mesh):
+        bsr = pad_bsr_for_mesh(laplacian_bsr(64, 4), 8)
+        op = bsr.as_linear_operator(use_pallas=False)
+        v0 = np.random.default_rng(5).standard_normal(bsr.shape[1])
+        s0 = init_lanczos_state(op, 16, v0=jnp.asarray(v0))
+        s_ag = distributed_lanczos_steps(bsr, s0, 10, mesh, matvec_mode="allgather")
+        s_halo = distributed_lanczos_steps(bsr, s0, 10, mesh, matvec_mode="halo")
+        np.testing.assert_allclose(s_halo.alpha, s_ag.alpha, atol=1e-12)
+        np.testing.assert_allclose(s_halo.beta, s_ag.beta, atol=1e-12)
+        np.testing.assert_allclose(s_halo.V, s_ag.V, atol=1e-11)
+
+    def test_halo_solver_end_to_end(self, mesh):
+        n = 64
+        bsr = laplacian_bsr(n, 4)
+        solver = DistributedLanczosEigenSolver(
+            bsr, mesh,
+            LanczosOptions(max_eigenvalues=2, tolerance=1e-14, max_subspace=n, seed=0),
+            matvec_mode="halo",
+        )
+        res = solver.compute()
+        exact = np.array([2 - 2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(2)])
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-10)
