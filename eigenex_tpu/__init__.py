@@ -42,7 +42,15 @@ from .parallel import (
 )
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
 from .solvers.cg import cg_solve, shift_invert_operator
+from .solvers.block_lanczos import BlockLanczosEigenSolver, BlockLanczosOptions
+from .solvers.refine import inverse_iteration_refine, rayleigh_refine
 from .solvers.restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
+from .sparse.realify import (
+    complex_from_real,
+    dedup_doubled_eigenvalues,
+    real_from_complex,
+    realify_coo,
+)
 from .utils.checkpoint import load_state, save_state
 from .solvers.functions import (
     LanczosExponentialSolver,

@@ -86,10 +86,14 @@ class COOBuilder:
         self._v = [1] * n
         return self
 
-    def build(self, threshold: float = 0.0) -> "COOMatrix":
-        """Sort column-major, merge duplicate entries, drop |v| <= threshold
+    def build(self, threshold: float = 0.0, to_device: bool = True) -> "COOMatrix":
+        """Sort row-major, merge duplicate entries, drop |v| <= threshold
         (the ``shrink`` pipeline triplets_matrix.hpp:194-296), then freeze
-        to device arrays."""
+        to device arrays.
+
+        ``to_device=False`` keeps host NumPy arrays — use when the device
+        would truncate the dtype (f64 on TPU) and the matrix is destined
+        for host-side use (oracles, f64 refinement)."""
         r = np.asarray(self._r, np.int32)
         c = np.asarray(self._c, np.int32)
         v = np.asarray(self._v, self.dtype)
@@ -103,9 +107,8 @@ class COOBuilder:
                 r, c, v = _shrink(r, c, v, self.rows, self.cols, threshold)
         else:
             r, c, v = _shrink(r, c, v, self.rows, self.cols, threshold)
-        return COOMatrix(
-            jnp.asarray(r), jnp.asarray(c), jnp.asarray(v), shape=(self.rows, self.cols)
-        )
+        conv = jnp.asarray if to_device else (lambda a: a)
+        return COOMatrix(conv(r), conv(c), conv(v), shape=(self.rows, self.cols))
 
 
 def _shrink(r, c, v, rows, cols, threshold):
@@ -208,10 +211,16 @@ class COOMatrix:
     def __sub__(self, other: "COOMatrix") -> "COOMatrix":
         return self + other.scalar_multiple(-1)
 
-    def to_dense(self) -> jax.Array:
-        """cf. makeDenseMatrix triplets_matrix.hpp:436-443"""
-        d = jnp.zeros(self.shape, self.dtype)
-        return d.at[self.row, self.col].add(self.val)
+    def to_dense(self) -> np.ndarray:
+        """Dense HOST array (cf. makeDenseMatrix triplets_matrix.hpp:436-443).
+
+        Computed with NumPy: this is a conversion/debug utility, device
+        scatter adds nothing (and compiles pathologically slowly on some
+        TPU backends); the host copy also preserves f64 when the device
+        would truncate."""
+        d = np.zeros(self.shape, np.asarray(self.val).dtype)
+        np.add.at(d, (np.asarray(self.row), np.asarray(self.col)), np.asarray(self.val))
+        return d
 
     def to_scipy(self):
         """scipy.sparse.coo_matrix view (cf. makeSparseMatrix
