@@ -540,11 +540,25 @@ def block_einsum(
     else:
         combos = [(ka, kb) for ka in tensors[0].blocks for kb in tensors[1].blocks]
 
+    # group contributing combos by (block shapes, result key) so each
+    # group runs as ONE batched einsum on stacked blocks (MXU-batched,
+    # same scheme as BlockTensor.contract)
+    groups: dict[tuple, list[tuple]] = {}
     for keys in combos:
         if not consistent(keys):
             continue
         out_key = tuple(sector_of(l, keys) for l in out_labels)
-        blocks = [tensors[i].blocks[keys[i]].astype(out_dtype) for i in range(len(tensors))]
-        val = einsum_labels(blocks, in_labels, out_labels)
-        out.add_block(out_key, val)
+        shapes = tuple(tuple(tensors[i].blocks[keys[i]].shape) for i in range(len(tensors)))
+        groups.setdefault((shapes, out_key), []).append(keys)
+
+    batch = "__batch__"
+    batched_in = tuple((batch,) + tuple(labs) for labs in in_labels)
+    batched_out = (batch,) + tuple(out_labels)
+    for (shapes, out_key), key_list in groups.items():
+        stacks = [
+            jnp.stack([tensors[i].blocks[keys[i]].astype(out_dtype) for keys in key_list])
+            for i in range(len(tensors))
+        ]
+        val = einsum_labels(stacks, batched_in, batched_out)
+        out.add_block(out_key, jnp.sum(val, axis=0))
     return out

@@ -1,0 +1,141 @@
+"""Restarted GMRES for general (non-Hermitian) matrix-free operators.
+
+Companion to :mod:`eigenex_tpu.solvers.cg` (Hermitian): GMRES(m) gives
+the shift-invert inner solve for *Arnoldi* eigenproblems and general
+linear systems.  Reuses the Arnoldi engine verbatim — each cycle builds
+the Krylov basis + Hessenberg with :func:`arnoldi_steps` (masked CGS2 on
+the MXU, static shapes), then solves the tiny (m+1, m) least-squares
+problem on host and updates the iterate with one basis matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.operators import LinearOperator, aslinearoperator
+from ..utils.exceptions import EigenexError
+from ..utils.tolerance import default_tolerance
+from .arnoldi import arnoldi_steps, init_arnoldi_state
+
+__all__ = ["gmres_solve", "shift_invert_operator_general"]
+
+
+def gmres_solve(
+    op,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    restart: int = 32,
+    tol: float | None = None,
+    max_restarts: int = 100,
+):
+    """Solve A x = b with restarted GMRES(m).
+
+    Returns (x, relative_residual, cycles)."""
+    op = aslinearoperator(op) if not isinstance(op, LinearOperator) else op
+    if op.shape[0] != op.shape[1]:
+        raise EigenexError("GMRES requires a square operator")
+    if tol is None:
+        tol = max(default_tolerance(op.dtype), 1e-14)
+    b = jnp.asarray(b, op.dtype)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, op.dtype)
+    bnorm = float(jnp.linalg.norm(b))
+    if bnorm == 0:
+        return jnp.zeros_like(b), 0.0, 0
+
+    rel = np.inf
+    for cycle in range(max_restarts):
+        r = b - op.matvec(x)
+        beta = float(jnp.linalg.norm(r))
+        rel = beta / bnorm
+        if rel <= tol:
+            return x, rel, cycle
+        m = min(restart, op.shape[0])
+        state = init_arnoldi_state(op, m, v0=r)
+        state = arnoldi_steps(op, state, m)
+        k = int(state.k)
+        H = np.asarray(
+            state.H[: k + 1, :k],
+            np.complex128 if jnp.iscomplexobj(state.H) else np.float64,
+        )
+        e1 = np.zeros(k + 1, H.dtype)
+        e1[0] = beta
+        y, *_ = np.linalg.lstsq(H, e1, rcond=None)
+        x = x + state.V[:k].T @ jnp.asarray(y, op.dtype)
+    r = b - op.matvec(x)
+    rel = float(jnp.linalg.norm(r)) / bnorm
+    return x, rel, max_restarts
+
+
+def gmres_solve_jit(op, b, x0=None, *, restart: int = 32, cycles: int = 10):
+    """Fully jittable GMRES(m) with a FIXED number of restart cycles.
+
+    All device compute: per cycle one Arnoldi build (the same chunk the
+    eigensolver uses) + an on-device least-squares (SVD) of the tiny
+    (m+1, m) Hessenberg.  Use inside jitted pipelines (e.g. shift-invert
+    matvecs); for adaptive stopping use :func:`gmres_solve`."""
+    from ..utils.tolerance import real_dtype_of
+    from .arnoldi import ArnoldiState, _arnoldi_chunk
+
+    op = aslinearoperator(op) if not isinstance(op, LinearOperator) else op
+    m = min(int(restart), op.shape[0])
+    n = op.shape[1]
+    dtype = op.dtype
+    rdt = real_dtype_of(dtype)
+    b = jnp.asarray(b, dtype)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype)
+    zero_deflate = jnp.zeros((0, n), dtype)
+
+    def cycle(x, _):
+        r = b - op.matvec(x)
+        beta = jnp.linalg.norm(r)
+        safe = jnp.where(beta > 0, beta, 1)
+        state = ArnoldiState(
+            V=jnp.zeros((m + 1, n), dtype).at[0].set(r / safe.astype(dtype)),
+            H=jnp.zeros((m + 1, m), dtype),
+            k=jnp.zeros((), jnp.int32),
+            breakdown=(beta <= jnp.asarray(0, rdt)).astype(jnp.bool_),
+            residue=beta.astype(rdt),
+        )
+        state = _arnoldi_chunk(
+            op,
+            state,
+            jnp.asarray(0, dtype),
+            jnp.asarray(1e-30, rdt),
+            zero_deflate,
+            num_steps=m,
+            has_deflate=False,
+        )
+        e1 = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
+        y, *_ = jnp.linalg.lstsq(state.H, e1)
+        return x + state.V[:m].T @ y, None
+
+    x, _ = jax.lax.scan(cycle, x, None, length=int(cycles))
+    return x
+
+
+def shift_invert_operator_general(
+    op, sigma, *, restart: int = 48, cycles: int = 8
+) -> LinearOperator:
+    """(A − σI)⁻¹ for a general operator, inner-solved with jittable
+    GMRES(restart)×cycles — feeds :class:`ArnoldiEigenSolver` for
+    interior eigenvalues of nonsymmetric operators."""
+    op = aslinearoperator(op)
+    sigma = jnp.asarray(sigma, op.dtype)
+    restart = int(restart)
+    cycles = int(cycles)
+
+    def si_matvec(p, x):
+        inner_op, sig = p
+        shifted = LinearOperator(
+            lambda pp, v: pp[0].matvec(v) - pp[1] * v,
+            (inner_op, sig),
+            inner_op.shape,
+            inner_op.dtype,
+        )
+        return gmres_solve_jit(shifted, x, restart=restart, cycles=cycles)
+
+    return LinearOperator(si_matvec, (op, sigma), op.shape, op.dtype)
