@@ -35,11 +35,13 @@ from .block.hamiltonians import (
 from .ops.sparse_svd import gram_operator, truncated_svd_via_lanczos
 from .parallel import (
     DistributedLanczosEigenSolver,
+    DistributedThickRestartLanczosEigenSolver,
     distributed_lanczos_steps,
     initialize_multihost,
     make_mesh,
     pad_bsr_for_mesh,
 )
+from .solvers.gmres import gmres_solve, gmres_solve_jit, shift_invert_operator_general
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
 from .solvers.cg import cg_solve, shift_invert_operator
 from .solvers.block_lanczos import BlockLanczosEigenSolver, BlockLanczosOptions

@@ -1,5 +1,7 @@
 from .distributed import (
     DistributedLanczosEigenSolver,
+    DistributedThickRestartLanczosEigenSolver,
+    distributed_arnoldi_steps,
     distributed_lanczos_steps,
     halo_matvec,
     pad_bsr_for_mesh,

@@ -35,12 +35,14 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.operators import LinearOperator
+from ..solvers.arnoldi import ArnoldiState, _arnoldi_chunk_body
 from ..solvers.lanczos import (
     LanczosEigenSolver,
     LanczosOptions,
     LanczosState,
     _lanczos_chunk_body,
 )
+from ..solvers.restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
 from ..sparse.bsr import BSRMatrix
 from ..utils.exceptions import EigenexError
 from ..utils.tolerance import default_breakdown_threshold, real_dtype_of
@@ -87,8 +89,31 @@ def _local_allgather_matvec(params, x_local, *, axis_name, bn):
 _DIST_CHUNK_CACHE: dict = {}
 
 
-def _get_dist_chunk(mesh, axis_name, num_steps, reorth, has_deflate, bn, mode):
-    key = (mesh, axis_name, num_steps, reorth, has_deflate, bn, mode)
+def _build_local_operator(mode, op_arrays, axis_name, bn, n_total, dtype):
+    """Local-shard matvec operator from the sharded BSR arrays."""
+    if mode == "allgather":
+        data, cols = op_arrays
+        nbr_local, _, bm, _ = data.shape
+        return LinearOperator(
+            partial(_local_allgather_matvec, axis_name=axis_name, bn=bn),
+            (data, cols),
+            (nbr_local * bm, n_total),
+            dtype,
+        )
+    dd, dc, ld, lc, rd, rc = op_arrays
+    nbr_local, _, bm, _ = dd.shape
+    return LinearOperator(
+        lambda p, x: halo_matvec(*p, x, axis_name=axis_name, bn=bn),
+        (dd, dc, ld, lc, rd, rc),
+        (nbr_local * bm, n_total),
+        dtype,
+    )
+
+
+def _get_dist_chunk(
+    mesh, axis_name, num_steps, reorth, has_deflate, bn, mode, si_cg_iters=None
+):
+    key = (mesh, axis_name, num_steps, reorth, has_deflate, bn, mode, si_cg_iters)
     fn = _DIST_CHUNK_CACHE.get(key)
     if fn is not None:
         return fn
@@ -97,24 +122,40 @@ def _get_dist_chunk(mesh, axis_name, num_steps, reorth, has_deflate, bn, mode):
 
     def body(*args):
         op_arrays = args[:n_op_args]
-        V, alpha, beta, k, breakdown, shift, bd, deflate = args[n_op_args:]
-        if mode == "allgather":
-            data, cols = op_arrays
-            nbr_local, _, bm, _ = data.shape
+        if si_cg_iters is None:
+            V, alpha, beta, k, breakdown, shift, bd, deflate = args[n_op_args:]
+        else:
+            V, alpha, beta, k, breakdown, shift, bd, deflate, sigma, cg_tol = args[n_op_args:]
+        op_local = _build_local_operator(
+            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype
+        )
+        if si_cg_iters is not None:
+            # shift-invert: each Lanczos matvec is a mesh-parallel CG solve
+            # of (A − σI) y = x, inner products psum-completed — the
+            # BASELINE config-5 operator
+            from ..solvers.cg import _cg_loop
+
+            base = op_local
+
+            def si_matvec(p, x):
+                shifted = LinearOperator(
+                    lambda pp, v: pp[0].matvec(v) - pp[1] * v,
+                    (p[0], p[1]),
+                    p[0].shape,
+                    p[0].dtype,
+                )
+                y, _, _ = _cg_loop(
+                    shifted,
+                    x,
+                    jnp.zeros_like(x),
+                    p[2],
+                    max_iters=si_cg_iters,
+                    axis_name=axis_name,
+                )
+                return y
+
             op_local = LinearOperator(
-                partial(_local_allgather_matvec, axis_name=axis_name, bn=bn),
-                (data, cols),
-                (nbr_local * bm, V.shape[1]),
-                V.dtype,
-            )
-        else:  # halo: diagonal part + left/right neighbor parts
-            dd, dc, ld, lc, rd, rc = op_arrays
-            nbr_local, _, bm, _ = dd.shape
-            op_local = LinearOperator(
-                lambda p, x: halo_matvec(*p, x, axis_name=axis_name, bn=bn),
-                (dd, dc, ld, lc, rd, rc),
-                (nbr_local * bm, V.shape[1]),
-                V.dtype,
+                si_matvec, (base, sigma.astype(V.dtype), cg_tol), base.shape, base.dtype
             )
         state = LanczosState(V=V, alpha=alpha, beta=beta, k=k, breakdown=breakdown)
         out = _lanczos_chunk_body(
@@ -130,20 +171,22 @@ def _get_dist_chunk(mesh, axis_name, num_steps, reorth, has_deflate, bn, mode):
         )
         return out.V, out.alpha, out.beta, out.k, out.breakdown
 
+    state_specs = (
+        P(None, axis_name),  # V: basis columns (vector entries) sharded
+        P(),  # alpha (replicated)
+        P(),  # beta
+        P(),  # k
+        P(),  # breakdown
+        P(),  # shift
+        P(),  # breakdown threshold
+        P(None, axis_name),  # deflation rows
+    )
+    if si_cg_iters is not None:
+        state_specs = state_specs + (P(), P())  # sigma, cg_tol
     sharded = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis_name),) * n_op_args  # operator arrays: block rows sharded
-        + (
-            P(None, axis_name),  # V: basis columns (vector entries) sharded
-            P(),  # alpha (replicated)
-            P(),  # beta
-            P(),  # k
-            P(),  # breakdown
-            P(),  # shift
-            P(),  # breakdown threshold
-            P(None, axis_name),  # deflation rows
-        ),
+        in_specs=(P(axis_name),) * n_op_args + state_specs,
         out_specs=(P(None, axis_name), P(), P(), P(), P()),
     )
     fn = jax.jit(sharded)
@@ -164,8 +207,17 @@ def distributed_lanczos_steps(
     deflate: jax.Array | None = None,
     matvec_mode: str = "allgather",
     halo_parts=None,
+    shift_invert_sigma=None,
+    cg_tol: float = 1e-8,
+    cg_max_iters: int = 500,
 ) -> LanczosState:
     """Run Lanczos steps with the operator row-partitioned over ``mesh``.
+
+    ``shift_invert_sigma``: when set, each Lanczos matvec becomes a
+    mesh-parallel CG solve of (A − σI) y = x (inner products
+    psum-completed over the same axis) — distributed shift-invert
+    Lanczos, the BASELINE config-5 pipeline.  The Ritz values θ of the
+    returned state then estimate eigenvalues of (A − σI)⁻¹: λ ≈ σ + 1/θ.
 
     Same semantics as :func:`eigenex_tpu.solvers.lanczos.lanczos_steps`;
     the basis is sharded ``P(None, rows)``, α/β/k replicated.
@@ -192,15 +244,19 @@ def distributed_lanczos_steps(
     has_deflate = deflate is not None
     if not has_deflate:
         deflate = jnp.zeros((0, bsr.shape[1]), bsr.dtype)
+    si_iters = None if shift_invert_sigma is None else int(cg_max_iters)
     fn = _get_dist_chunk(
         mesh, axis_name, int(num_steps), int(reorthogonalize_interval), has_deflate,
-        bsr.block_shape[1], matvec_mode,
+        bsr.block_shape[1], matvec_mode, si_iters,
     )
     if matvec_mode == "halo":
         diag, left, right = halo_parts if halo_parts is not None else split_bsr_halo(bsr, nd)
         op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
     else:
         op_arrays = (bsr.data, bsr.block_cols)
+    extra = ()
+    if shift_invert_sigma is not None:
+        extra = (jnp.asarray(shift_invert_sigma, rdt), jnp.asarray(cg_tol, rdt))
     V, alpha, beta, k, brk = fn(
         *op_arrays,
         state.V,
@@ -211,6 +267,7 @@ def distributed_lanczos_steps(
         jnp.asarray(shift),
         jnp.asarray(breakdown_threshold, rdt),
         jnp.asarray(deflate, bsr.dtype),
+        *extra,
     )
     return LanczosState(V=V, alpha=alpha, beta=beta, k=k, breakdown=brk)
 
@@ -252,6 +309,164 @@ class DistributedLanczosEigenSolver(LanczosEigenSolver):
             breakdown_threshold=breakdown_threshold,
             reorthogonalize_interval=o.reorthogonalize_interval,
             deflate=self._deflate,
+            matvec_mode=self.matvec_mode,
+            halo_parts=self._halo_parts,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Arnoldi chunk + distributed thick-restart Lanczos
+# ---------------------------------------------------------------------------
+_DIST_ARNOLDI_CACHE: dict = {}
+
+
+def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode):
+    key = (mesh, axis_name, num_steps, bn, mode)
+    fn = _DIST_ARNOLDI_CACHE.get(key)
+    if fn is not None:
+        return fn
+    n_op_args = 2 if mode == "allgather" else 6
+
+    def body(*args):
+        op_arrays = args[:n_op_args]
+        V, H, k, breakdown, residue, shift, bd = args[n_op_args:]
+        if mode == "allgather":
+            data, cols = op_arrays
+            nbr_local, _, bm, _ = data.shape
+            op_local = LinearOperator(
+                partial(_local_allgather_matvec, axis_name=axis_name, bn=bn),
+                (data, cols),
+                (nbr_local * bm, V.shape[1]),
+                V.dtype,
+            )
+        else:
+            dd, dc, ld, lc, rd, rc = op_arrays
+            nbr_local, _, bm, _ = dd.shape
+            op_local = LinearOperator(
+                lambda p, x: halo_matvec(*p, x, axis_name=axis_name, bn=bn),
+                (dd, dc, ld, lc, rd, rc),
+                (nbr_local * bm, V.shape[1]),
+                V.dtype,
+            )
+        state = ArnoldiState(V=V, H=H, k=k, breakdown=breakdown, residue=residue)
+        deflate = jnp.zeros((0, V.shape[1]), V.dtype)
+        out = _arnoldi_chunk_body(
+            op_local,
+            state,
+            shift,
+            bd,
+            deflate,
+            num_steps=num_steps,
+            has_deflate=False,
+            axis_name=axis_name,
+        )
+        return out.V, out.H, out.k, out.breakdown, out.residue
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * n_op_args
+        + (
+            P(None, axis_name),  # V
+            P(),  # H (small, replicated)
+            P(),  # k
+            P(),  # breakdown
+            P(),  # residue
+            P(),  # shift
+            P(),  # breakdown threshold
+        ),
+        out_specs=(P(None, axis_name), P(), P(), P(), P()),
+    )
+    fn = jax.jit(sharded)
+    _DIST_ARNOLDI_CACHE[key] = fn
+    return fn
+
+
+def distributed_arnoldi_steps(
+    bsr: BSRMatrix,
+    state: ArnoldiState,
+    num_steps: int,
+    mesh: Mesh,
+    *,
+    axis_name: str = ROWS,
+    shift=0.0,
+    breakdown_threshold: float | None = None,
+    matvec_mode: str = "allgather",
+    halo_parts=None,
+) -> ArnoldiState:
+    """Arnoldi basis/Hessenberg build with the operator row-partitioned
+    over ``mesh`` — powers the distributed thick-restart solver and
+    distributed GMRES-style uses."""
+    nd = mesh.shape[axis_name]
+    if bsr.n_block_rows % nd:
+        raise EigenexError("pad_bsr_for_mesh before distributed_arnoldi_steps")
+    rdt = real_dtype_of(bsr.dtype)
+    if breakdown_threshold is None:
+        breakdown_threshold = default_breakdown_threshold(bsr.dtype)
+    fn = _get_dist_arnoldi_chunk(
+        mesh, axis_name, int(num_steps), bsr.block_shape[1], matvec_mode
+    )
+    if matvec_mode == "halo":
+        diag, left, right = halo_parts if halo_parts is not None else split_bsr_halo(bsr, nd)
+        op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
+    else:
+        op_arrays = (bsr.data, bsr.block_cols)
+    V, H, k, brk, res = fn(
+        *op_arrays,
+        state.V,
+        state.H,
+        state.k,
+        state.breakdown,
+        state.residue,
+        jnp.asarray(shift),
+        jnp.asarray(breakdown_threshold, rdt),
+    )
+    return ArnoldiState(V=V, H=H, k=k, breakdown=brk, residue=res)
+
+
+class DistributedThickRestartLanczosEigenSolver(ThickRestartLanczosEigenSolver):
+    """Thick-restart Lanczos with the iteration chunk row-partitioned over
+    a device mesh — the memory-bounded solver for operators whose Krylov
+    basis cannot be held at full subspace size (the 10^8-row regime:
+    small ``max_subspace``, many restarts, basis sharded over the mesh).
+
+    The restart compression (one (p, m) × (m, n) matmul) runs as a plain
+    jitted op on the sharded global arrays — XLA's sharding propagation
+    distributes it."""
+
+    def __init__(
+        self,
+        bsr: BSRMatrix,
+        mesh: Mesh | None = None,
+        options: ThickRestartOptions | None = None,
+        axis_name: str = ROWS,
+        matvec_mode: str = "allgather",
+    ):
+        mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
+        super().__init__(bsr.as_linear_operator(use_pallas=False), options)
+        self.bsr = bsr
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.matvec_mode = matvec_mode
+        self._halo_parts = (
+            split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
+        )
+
+    def _run_arnoldi_chunk(self, op, state, num_steps, breakdown_threshold):
+        if num_steps <= 0:
+            return state
+        # fixed chunk length (= m): steps past the subspace no-op inside the
+        # loop, and the compiled shard_map program is reused across
+        # restarts regardless of how many Ritz vectors were kept
+        return distributed_arnoldi_steps(
+            self.bsr,
+            state,
+            state.H.shape[1],
+            self.mesh,
+            axis_name=self.axis_name,
+            shift=self.options.eigenvalue_shift,
+            breakdown_threshold=breakdown_threshold,
             matvec_mode=self.matvec_mode,
             halo_parts=self._halo_parts,
         )

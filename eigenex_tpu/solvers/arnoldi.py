@@ -140,8 +140,7 @@ def init_arnoldi_state(
     )
 
 
-@partial(jax.jit, static_argnames=("num_steps", "has_deflate"))
-def _arnoldi_chunk(
+def _arnoldi_chunk_body(
     op: LinearOperator,
     state: ArnoldiState,
     shift,
@@ -150,24 +149,40 @@ def _arnoldi_chunk(
     *,
     num_steps: int,
     has_deflate: bool,
+    axis_name: str | None = None,
 ):
     """The hot loop of updateArnoldiSteps (arnoldi.hpp:312-396): matvec +
     shift (:369-372), deflation (:373-375), full GS Hessenberg column
-    (:377-384) via masked CGS2, residue (:348,385)."""
+    (:377-384) via masked CGS2, residue (:348,385).
+
+    ``axis_name``: set when running inside ``shard_map`` with the basis
+    row-sharded — inner products/norms complete with ``lax.psum`` and the
+    operator is a local-shard operator (same scheme as the Lanczos chunk,
+    eigenex_tpu.parallel.distributed)."""
     m = state.H.shape[1]
     dtype = state.V.dtype
     rdt = state.residue.dtype
     row_ids = lax.broadcasted_iota(jnp.int32, (m + 1, 1), 0).squeeze(-1)
+
+    def psum_if(x):
+        return lax.psum(x, axis_name) if axis_name is not None else x
+
+    def vnorm(v):
+        return jnp.sqrt(
+            psum_if(
+                jnp.sum(jnp.real(v) ** 2 + (jnp.imag(v) ** 2 if jnp.iscomplexobj(v) else 0.0))
+            )
+        )
 
     def step(state: ArnoldiState) -> ArnoldiState:
         k = state.k
         vk = state.V[k]
         w = op.matvec(vk) + jnp.asarray(shift, dtype) * vk
         if has_deflate:
-            w = project_out(deflate, w)
+            w = project_out(deflate, w, axis_name=axis_name)
         mask = row_ids <= k
-        w, h_col = cgs2(state.V, w, mask=mask)
-        residue = jnp.linalg.norm(w).astype(rdt)
+        w, h_col = cgs2(state.V, w, axis_name=axis_name, mask=mask)
+        residue = vnorm(w).astype(rdt)
         broke = residue <= jnp.asarray(breakdown_threshold, rdt)
         safe = jnp.where(broke, jnp.ones((), rdt), residue)
         v_next = w / safe.astype(dtype)
@@ -184,6 +199,11 @@ def _arnoldi_chunk(
         return lax.cond(active, step, lambda s: s, state)
 
     return lax.fori_loop(0, num_steps, body, state)
+
+
+_arnoldi_chunk = jax.jit(
+    _arnoldi_chunk_body, static_argnames=("num_steps", "has_deflate", "axis_name")
+)
 
 
 def arnoldi_steps(

@@ -117,9 +117,7 @@ class ThickRestartLanczosEigenSolver:
 
         for restart in range(o.max_restarts + 1):
             k0 = int(state.k)
-            state = arnoldi_steps(
-                op, state, m - k0, shift=o.eigenvalue_shift, breakdown_threshold=bd
-            )
+            state = self._run_arnoldi_chunk(op, state, m - k0, bd)
             k = int(state.k)
             total_iters += k - k0
             Hk = np.asarray(state.H[:k, :k], np.float64 if not jnp.iscomplexobj(state.H) else np.complex128)
@@ -192,6 +190,17 @@ class ThickRestartLanczosEigenSolver:
             trace=self.trace,
         )
         return self._result
+
+    def _run_arnoldi_chunk(self, op, state, num_steps, breakdown_threshold):
+        """One jitted Arnoldi chunk; overridden by the distributed variant
+        (eigenex_tpu.parallel.distributed) to run under shard_map."""
+        return arnoldi_steps(
+            op,
+            state,
+            num_steps,
+            shift=self.options.eigenvalue_shift,
+            breakdown_threshold=breakdown_threshold,
+        )
 
     @staticmethod
     def state_residue(state: ArnoldiState) -> float:

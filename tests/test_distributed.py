@@ -140,3 +140,71 @@ class TestHaloLanczos:
         res = solver.compute()
         exact = np.array([2 - 2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(2)])
         np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-10)
+
+
+class TestDistributedThickRestart:
+    def test_matches_single_device_trlm(self, mesh):
+        """Distributed TRLM == single-device TRLM eigenvalues (n=256
+        Laplacian, 24-dim basis, many restarts)."""
+        from eigenex_tpu.parallel.distributed import (
+            DistributedThickRestartLanczosEigenSolver,
+        )
+        from eigenex_tpu.solvers.restart import (
+            ThickRestartLanczosEigenSolver,
+            ThickRestartOptions,
+        )
+
+        n = 256
+        bsr = laplacian_bsr(n, 4)
+        opts = ThickRestartOptions(
+            max_eigenvalues=2, tolerance=1e-12, max_subspace=24, seed=0, max_restarts=200
+        )
+        exact = np.array([2 - 2 * np.cos((k + 1) * np.pi / (n + 1)) for k in range(2)])
+        dist = DistributedThickRestartLanczosEigenSolver(bsr, mesh, opts).compute()
+        assert dist.converged, dist.termination
+        np.testing.assert_allclose(dist.eigenvalues, exact, atol=1e-9)
+
+    def test_halo_mode(self, mesh):
+        from eigenex_tpu.parallel.distributed import (
+            DistributedThickRestartLanczosEigenSolver,
+        )
+        from eigenex_tpu.solvers.restart import ThickRestartOptions
+
+        n = 128
+        bsr = laplacian_bsr(n, 4)
+        opts = ThickRestartOptions(
+            max_eigenvalues=1, tolerance=1e-12, max_subspace=20, seed=1, max_restarts=200
+        )
+        res = DistributedThickRestartLanczosEigenSolver(
+            bsr, mesh, opts, matvec_mode="halo"
+        ).compute()
+        assert res.converged
+        exact = 2 - 2 * np.cos(np.pi / (n + 1))
+        np.testing.assert_allclose(res.eigenvalues[0], exact, atol=1e-9)
+
+
+class TestDistributedShiftInvert:
+    def test_shift_invert_lanczos_ground_state(self, mesh):
+        """BASELINE config 5 in miniature: row-partitioned operator, halo
+        SpMV inside a mesh-parallel CG, shift-invert Lanczos targeting
+        the ground state."""
+        n = 64
+        bsr = pad_bsr_for_mesh(laplacian_bsr(n, 4), 8)
+        op = bsr.as_linear_operator(use_pallas=False)
+        exact0 = 2 - 2 * np.cos(np.pi / (n + 1))
+        sigma = -0.5  # below the spectrum → (A−σI) positive definite
+        s0 = init_lanczos_state(op, 24, seed=0)
+        s = distributed_lanczos_steps(
+            bsr, s0, 24, mesh,
+            matvec_mode="halo",
+            shift_invert_sigma=sigma,
+            cg_tol=1e-12, cg_max_iters=400,
+        )
+        k = int(s.k)
+        from eigenex_tpu.solvers.lanczos import tridiagonal_eigh
+
+        theta = tridiagonal_eigh(
+            np.asarray(s.alpha[:k]), np.asarray(s.beta[:k]), eigvals_only=True
+        )
+        lam = sigma + 1.0 / theta[-1]  # dominant θ ↔ eigenvalue nearest σ
+        np.testing.assert_allclose(lam, exact0, atol=1e-8)
