@@ -56,9 +56,29 @@ __all__ = [
 ]
 
 
+def _padding_safe_v0(orig_n: int, padded_n: int, dtype, seed: int):
+    """Random start vector supported on the ORIGINAL coordinates only.
+
+    Structurally-zero padding rows add a spurious eigenvalue 0 of
+    multiplicity (padded_n - orig_n); a start vector with no component in
+    that exactly-invariant subspace keeps Krylov iterates out of it, so
+    the padded operator's Ritz values are those of the original."""
+    from ..utils.prng import random_vector
+
+    v = random_vector(jax.random.PRNGKey(seed), orig_n, dtype, normalize=False)
+    return jnp.zeros((padded_n,), dtype).at[:orig_n].set(v)
+
+
 def pad_bsr_for_mesh(bsr: BSRMatrix, n_shards: int) -> BSRMatrix:
     """Zero-pad block rows/cols so the row count divides evenly over the
-    mesh.  Padding rows are structurally zero — harmless to Krylov."""
+    mesh.
+
+    The padding rows are structurally zero, which adds eigenvalue 0 with
+    multiplicity = padding size to the padded operator — when targeting
+    eigenvalues that 0 could shadow (e.g. the smallest of a
+    positive-definite operator), start the iteration from a vector with
+    no padding support (the distributed solvers do this automatically;
+    see :func:`_padding_safe_v0`)."""
     nbr = bsr.n_block_rows
     if nbr % n_shards == 0:
         return bsr
@@ -75,14 +95,23 @@ def pad_bsr_for_mesh(bsr: BSRMatrix, n_shards: int) -> BSRMatrix:
     return BSRMatrix(data, cols, (m, n))
 
 
+def _acc_dtype_of(dtype):
+    """Accumulate low-precision storage in f32 (the BSRMatrix._acc_dtype
+    policy, applied to the distributed matvec paths too)."""
+    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+
+
 def _local_allgather_matvec(params, x_local, *, axis_name, bn):
     """Local-shard matvec: gather all x shards, apply the local block
     rows.  Runs inside shard_map."""
     data, cols = params
     x = lax.all_gather(x_local, axis_name, tiled=True)  # (n,)
     xb = x.reshape(-1, bn)[cols]  # (nbr_local, kmax, bn)
-    y = jnp.einsum("rkij,rkj->ri", data, xb, preferred_element_type=data.dtype)
-    return y.reshape(-1)
+    acc = _acc_dtype_of(data.dtype)
+    y = jnp.einsum(
+        "rkij,rkj->ri", data, xb.astype(data.dtype), preferred_element_type=acc
+    )
+    return y.reshape(-1).astype(acc)
 
 
 # cache of compiled distributed chunk runners, keyed by static config
@@ -287,6 +316,7 @@ class DistributedLanczosEigenSolver(LanczosEigenSolver):
         matvec_mode: str = "allgather",
     ):
         mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        orig_n = bsr.shape[0]
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
         super().__init__(bsr.as_linear_operator(use_pallas=False), options)
         self.bsr = bsr
@@ -296,6 +326,10 @@ class DistributedLanczosEigenSolver(LanczosEigenSolver):
         self._halo_parts = (
             split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
         )
+        if bsr.shape[0] != orig_n:
+            self._initial_vector = _padding_safe_v0(
+                orig_n, bsr.shape[0], bsr.dtype, self.options.seed
+            )
 
     def _run_chunk(self, op, state, num_steps, breakdown_threshold):
         o = self.options
@@ -443,6 +477,7 @@ class DistributedThickRestartLanczosEigenSolver(ThickRestartLanczosEigenSolver):
         matvec_mode: str = "allgather",
     ):
         mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        orig_n = bsr.shape[0]
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
         super().__init__(bsr.as_linear_operator(use_pallas=False), options)
         self.bsr = bsr
@@ -452,6 +487,10 @@ class DistributedThickRestartLanczosEigenSolver(ThickRestartLanczosEigenSolver):
         self._halo_parts = (
             split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
         )
+        if bsr.shape[0] != orig_n:
+            self._initial_vector = _padding_safe_v0(
+                orig_n, bsr.shape[0], bsr.dtype, self.options.seed
+            )
 
     def _run_arnoldi_chunk(self, op, state, num_steps, breakdown_threshold):
         if num_steps <= 0:
@@ -507,7 +546,14 @@ def halo_matvec(
 
     def ell(data, cols, x):
         xb = x.reshape(-1, bn)[cols]
-        return jnp.einsum("rkij,rkj->ri", data, xb, preferred_element_type=data.dtype).reshape(-1)
+        acc = _acc_dtype_of(data.dtype)
+        return (
+            jnp.einsum(
+                "rkij,rkj->ri", data, xb.astype(data.dtype), preferred_element_type=acc
+            )
+            .reshape(-1)
+            .astype(acc)
+        )
 
     y = ell(diag_data, diag_cols, x_local)
     y = y + ell(left_data, left_cols, x_from_left)

@@ -111,11 +111,12 @@ def _block_chunk(
             C_total = C_total + C
         # thin QR of the residual block: W.T = Q R
         Q, R = jnp.linalg.qr(W.T)  # (n, b), (b, b)
-        # sign-fix so R has non-negative diagonal (deterministic)
+        # phase-fix so R has non-negative real diagonal (deterministic):
+        # Q' = Q·diag(phase), R' = diag(conj(phase))·R keeps Q'R' = QR
         d = jnp.diagonal(R)
         phase = jnp.where(jnp.abs(d) > 0, d / jnp.where(jnp.abs(d) > 0, jnp.abs(d), 1), 1)
-        Q = Q * jnp.conj(phase)[None, :]
-        R = phase.conj()[:, None] * R
+        Q = Q * phase[None, :]
+        R = jnp.conj(phase)[:, None] * R
         # breakdown: residual block rank-deficient
         rmin = jnp.min(jnp.abs(jnp.diagonal(R)))
         broke = rmin <= jnp.asarray(breakdown_threshold, rdt)

@@ -24,7 +24,7 @@ from ..utils.tolerance import default_tolerance
 __all__ = ["cg_solve", "shift_invert_operator"]
 
 
-def _cg_body_factory(matvec, axis_name):
+def _cg_body_factory(axis_name):
     def psum_if(x):
         return lax.psum(x, axis_name) if axis_name is not None else x
 
@@ -36,7 +36,7 @@ def _cg_body_factory(matvec, axis_name):
 
 @partial(jax.jit, static_argnames=("max_iters", "axis_name"))
 def _cg_loop(op: LinearOperator, b, x0, tol, *, max_iters: int, axis_name: str | None):
-    psum_if, vdot = _cg_body_factory(op.matvec, axis_name)
+    psum_if, vdot = _cg_body_factory(axis_name)
     bnorm2 = jnp.real(vdot(b, b))
     target2 = (tol**2) * bnorm2
 

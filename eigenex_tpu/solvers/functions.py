@@ -197,6 +197,11 @@ def expm_multiply(op, v, x=1.0, method: str = "auto", **kw):
     if method == "taylor_auto":
         return taylor_expmv_auto(op, v, x, **kw)
     if method == "dense":
+        if isinstance(op, LinearOperator):
+            # materialize the matrix through the operator interface
+            op_lo = op
+            A = op_lo.matmat(jnp.eye(op_lo.shape[1], dtype=op_lo.dtype))
+            return dense_expmv(A, v, x)
         return dense_expmv(op, v, x)
     raise LanczosError(f"unknown expm method {method!r}")
 

@@ -54,7 +54,10 @@ def gmres_solve(
         if rel <= tol:
             return x, rel, cycle
         m = min(restart, op.shape[0])
-        state = init_arnoldi_state(op, m, v0=r)
+        # breakdown_threshold=0: ||r|| is already known > 0 (rel > tol) and
+        # the absolute dtype default would spuriously reject small-norm
+        # residuals of well-scaled systems
+        state = init_arnoldi_state(op, m, v0=r, breakdown_threshold=0.0)
         state = arnoldi_steps(op, state, m)
         k = int(state.k)
         H = np.asarray(

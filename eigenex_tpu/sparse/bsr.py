@@ -110,25 +110,25 @@ class BSRMatrix:
         return y.reshape(self.shape[0], p).astype(acc)
 
     def as_linear_operator(self, use_pallas: bool | None = None) -> LinearOperator:
+        from .coo import _container_matmat, _container_matvec
+
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
-            from ..ops.pallas_spmv import bsr_matvec_pallas
-
             return LinearOperator(
-                lambda p, x: bsr_matvec_pallas(p, x),
+                _bsr_pallas_matvec,
                 self,
                 self.shape,
                 self.dtype,
                 rmatvec_fn=None,
-                matmat_fn=lambda p, X: p.matmat(X),
+                matmat_fn=_container_matmat,
             )
         return LinearOperator(
-            lambda p, x: p.matvec(x),
+            _container_matvec,
             self,
             self.shape,
             self.dtype,
-            matmat_fn=lambda p, X: p.matmat(X),
+            matmat_fn=_container_matmat,
         )
 
     def to_dense(self) -> jax.Array:
@@ -143,6 +143,12 @@ class BSRMatrix:
 
     def scalar_multiple(self, c) -> "BSRMatrix":
         return BSRMatrix(self.data * c, self.block_cols, self.shape)
+
+
+def _bsr_pallas_matvec(p, x):
+    from ..ops.pallas_spmv import bsr_matvec_pallas
+
+    return bsr_matvec_pallas(p, x)
 
 
 def bsr_from_coo_arrays(
@@ -184,7 +190,6 @@ def bsr_from_coo_arrays(
     key, br, bc, ir, ic, val = key[order], br[order], bc[order], ir[order], ic[order], val[order]
     uniq_key, start = np.unique(key, return_index=True)
     ubr, ubc = uniq_key // nbc, uniq_key % nbc
-    counts = np.bincount(np.searchsorted(uniq_key, key), minlength=len(uniq_key))
     # slot index of each unique block within its block row
     slot = np.zeros(len(uniq_key), np.int64)
     k_per_row = np.bincount(ubr, minlength=nbr)

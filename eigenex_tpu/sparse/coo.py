@@ -172,13 +172,26 @@ class COOMatrix:
         )
 
     # -- transforms (pure; return new containers) ------------------------
+    def _resorted(self, row, col, val, shape) -> "COOMatrix":
+        """Restore the row-sorted invariant that segment_sum's
+        ``indices_are_sorted=True`` fast path depends on."""
+        r = np.asarray(row)
+        c = np.asarray(col)
+        v = np.asarray(val)
+        order = np.lexsort((c, r))
+        return COOMatrix(
+            jnp.asarray(r[order]), jnp.asarray(c[order]), jnp.asarray(v[order]), shape
+        )
+
     def transpose(self) -> "COOMatrix":
-        """cf. transpose triplets_matrix.hpp:386-404"""
-        return COOMatrix(self.col, self.row, self.val, (self.shape[1], self.shape[0]))
+        """cf. transpose triplets_matrix.hpp:386-404 (re-sorted row-major)."""
+        return self._resorted(self.col, self.row, self.val, (self.shape[1], self.shape[0]))
 
     def adjoint(self) -> "COOMatrix":
-        """cf. adjoint triplets_matrix.hpp:406-421"""
-        return COOMatrix(self.col, self.row, jnp.conj(self.val), (self.shape[1], self.shape[0]))
+        """cf. adjoint triplets_matrix.hpp:406-421 (re-sorted row-major)."""
+        return self._resorted(
+            self.col, self.row, np.conj(np.asarray(self.val)), (self.shape[1], self.shape[0])
+        )
 
     @property
     def T(self):
@@ -234,14 +247,18 @@ class COOMatrix:
         )
 
     def as_linear_operator(self) -> LinearOperator:
-        """The solver bridge (cf. makeMatMulFunction triplets_matrix.hpp:373-380)."""
+        """The solver bridge (cf. makeMatMulFunction triplets_matrix.hpp:373-380).
+
+        The matvec bodies are module-level functions so jit caches by
+        function identity — repeated as_linear_operator() calls reuse the
+        compiled solver chunks."""
         return LinearOperator(
-            lambda p, x: p.matvec(x),
+            _container_matvec,
             self,
             self.shape,
             self.dtype,
-            rmatvec_fn=lambda p, x: p.rmatvec(x),
-            matmat_fn=lambda p, X: p.matmat(X),
+            rmatvec_fn=_container_rmatvec,
+            matmat_fn=_container_matmat,
         )
 
     # -- norms (cf. l1norm/l2norm/linorm triplets_matrix.hpp:452-481) ----
@@ -287,6 +304,19 @@ class COOMatrix:
         centers, radii = self.gershgorin_discs()
         re = jnp.real(centers)
         return jnp.min(re - radii), jnp.max(re + radii)
+
+
+# module-scope operator bodies: stable identity → stable jit cache
+def _container_matvec(p, x):
+    return p.matvec(x)
+
+
+def _container_rmatvec(p, x):
+    return p.rmatvec(x)
+
+
+def _container_matmat(p, X):
+    return p.matmat(X)
 
 
 def coo_from_dense(A, threshold: float = 0.0) -> COOMatrix:

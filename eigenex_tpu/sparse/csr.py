@@ -69,14 +69,20 @@ class CSRMatrix:
         )
 
     def as_linear_operator(self) -> LinearOperator:
+        from .coo import _container_matmat, _container_matvec
+
         return LinearOperator(
-            lambda p, x: p.matvec(x),
+            _container_matvec,
             self,
             self.shape,
             self.dtype,
-            rmatvec_fn=lambda p, x: p.to_coo().rmatvec(x),
-            matmat_fn=lambda p, X: p.matmat(X),
+            rmatvec_fn=_csr_rmatvec,
+            matmat_fn=_container_matmat,
         )
+
+
+def _csr_rmatvec(p, x):
+    return p.to_coo().rmatvec(x)
 
 
 def csr_from_coo(coo: COOMatrix) -> CSRMatrix:

@@ -79,3 +79,20 @@ class TestBlockSolver:
         # starting block spans an invariant 2-space {e1, e2}
         assert res.termination == "breakdown"
         np.testing.assert_allclose(np.sort(res.eigenvalues), [1.0, 2.0], atol=1e-10)
+
+
+def test_complex_hermitian_block(key):
+    """Complex operator: the QR phase fix must keep Q'R' == W.T (review
+    finding: the old conj-on-both-factors broke complex phases)."""
+    from eigenex_tpu.utils.prng import random_hermitian
+
+    n = 40
+    A = random_hermitian(key, n, jnp.complex128)
+    ref = np.linalg.eigvalsh(np.asarray(A))
+    res = BlockLanczosEigenSolver(
+        A,
+        BlockLanczosOptions(
+            max_eigenvalues=3, block_size=3, tolerance=1e-13, max_subspace=n, seed=0
+        ),
+    ).compute()
+    np.testing.assert_allclose(res.eigenvalues, ref[:3], atol=1e-8)

@@ -208,3 +208,19 @@ class TestDistributedShiftInvert:
         )
         lam = sigma + 1.0 / theta[-1]  # dominant θ ↔ eigenvalue nearest σ
         np.testing.assert_allclose(lam, exact0, atol=1e-8)
+
+
+def test_padding_does_not_shadow_smallest_eigenvalue(mesh):
+    """Auto-padded rows add spurious eigenvalue 0; the solver's start
+    vector must avoid that null space so the TRUE smallest eigenvalue of
+    a positive-definite operator is returned (review finding)."""
+    n = 60  # 15 block rows of 4 → pads to 16 over 8 shards
+    bsr = laplacian_bsr(n, 4)
+    assert (bsr.n_block_rows % 8) != 0  # padding will occur
+    solver = DistributedLanczosEigenSolver(
+        bsr, mesh, LanczosOptions(max_eigenvalues=1, tolerance=1e-14, max_subspace=n, seed=0)
+    )
+    res = solver.compute()
+    exact0 = 2 - 2 * np.cos(np.pi / (n + 1))
+    # without the fix this returns ~0 (the padding eigenvalue)
+    np.testing.assert_allclose(res.eigenvalues[0], exact0, atol=1e-9)
