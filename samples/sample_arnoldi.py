@@ -2,6 +2,12 @@
 
 Mirrors reference sample_arnoldi.cpp:42-52."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,12 @@
 """Block-sparse tensor demo: symmetry sectors, selection rule, einsum,
 and the Heisenberg ground state (BASELINE config 3)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 import numpy as np
 

@@ -3,6 +3,12 @@
 Mirrors reference sample_lanczos1.cpp:13-41 (a 3x3 matrix with known
 spectrum, operator given as a bare mat-mul function)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax.numpy as jnp
 import numpy as np
 

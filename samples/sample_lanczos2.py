@@ -4,6 +4,12 @@ Mirrors reference sample_lanczos2.cpp:21-86: an n=200 complex operator
 (tridiagonal with imaginary antisymmetric off-diagonal), every fluent
 setter exercised, convergence log printed."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import jax
 import numpy as np
 

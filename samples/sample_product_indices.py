@@ -2,6 +2,12 @@
 
 Mirrors reference sample_product_indices.cpp:15-37."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 
 from eigenex_tpu import ProductIndices

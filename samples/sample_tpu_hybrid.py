@@ -7,6 +7,12 @@ the chip; the final Rayleigh/inverse-iteration polish costs a handful
 of host SpMVs.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np
