@@ -50,8 +50,9 @@ def _spmv_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
         acc = jnp.zeros((bm, 1), jnp.float32)
         for k in range(kmax):
             c = cols_ref[(r0 + i) * kmax + k]
-            xb = x_ref[c, :]  # (bn,)
-            blk = data_ref[i, k]  # (bm, bn)
+            xb = x_ref[c, :]  # (bn,) — x stays f32: dynamic single-row
+            # loads need 8-sublane tiling; bf16's 16-row tiles reject them
+            blk = data_ref[i, k].astype(jnp.float32)  # (bm, bn)
             acc = acc + jnp.dot(blk, xb[:, None], preferred_element_type=jnp.float32)
         y_ref[i, :] = acc[:, 0].astype(y_ref.dtype)
 
@@ -67,7 +68,8 @@ def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
     if bsr.dtype not in (jnp.float32, jnp.bfloat16) or nbr % R or bm % 8 or bn % 128:
         return bsr.matvec(x)
     nbc = bsr.n_block_cols
-    x2 = x.astype(bsr.dtype).reshape(nbc, bn)
+    x_dtype = jnp.float32 if bsr.dtype == jnp.bfloat16 else bsr.dtype
+    x2 = x.astype(x_dtype).reshape(nbc, bn)
     out_dtype = jnp.float32 if bsr.dtype == jnp.bfloat16 else bsr.dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
