@@ -185,11 +185,15 @@ def _arnoldi_chunk_body(
         residue = vnorm(w).astype(rdt)
         broke = residue <= jnp.asarray(breakdown_threshold, rdt)
         safe = jnp.where(broke, jnp.ones((), rdt), residue)
-        v_next = w / safe.astype(dtype)
+        # unconditional single-row write (a lax.cond over V would copy the
+        # whole basis each step); the row is zero on breakdown, never read
+        v_next = jnp.where(broke, jnp.zeros((), dtype), 1).astype(dtype) * (
+            w / safe.astype(dtype)
+        )
         # column k of H: projection coefficients + subdiagonal residue
         h_col = h_col.at[k + 1].set(residue.astype(dtype))
         H = state.H.at[:, k].set(h_col)
-        V = lax.cond(broke, lambda V: V, lambda V: V.at[k + 1].set(v_next), state.V)
+        V = state.V.at[k + 1].set(v_next)
         return ArnoldiState(
             V=V, H=H, k=k + 1, breakdown=state.breakdown | broke, residue=residue
         )

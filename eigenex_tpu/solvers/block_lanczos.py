@@ -124,12 +124,10 @@ def _block_chunk(
         Hcol = C_total  # (m+b, b) — includes rows < k
         Hcol = lax.dynamic_update_slice(Hcol, R.astype(dtype), (k, jnp.asarray(0, k.dtype)))
         H = lax.dynamic_update_slice(state.H, Hcol, (jnp.asarray(0, k.dtype), k - b))
-        V = lax.cond(
-            broke,
-            lambda V: V,
-            lambda V: lax.dynamic_update_slice(V, Q.T, (k, jnp.asarray(0, k.dtype))),
-            state.V,
-        )
+        # unconditional block write (cond over V copies the whole basis);
+        # zeros on breakdown, never read
+        Qw = jnp.where(broke, jnp.zeros((), dtype), 1).astype(dtype) * Q.T
+        V = lax.dynamic_update_slice(state.V, Qw, (k, jnp.asarray(0, k.dtype)))
         return BlockLanczosState(V=V, H=H, k=k + b, breakdown=state.breakdown | broke)
 
     def body(_, s):

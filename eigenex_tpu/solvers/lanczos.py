@@ -278,13 +278,13 @@ def _lanczos_chunk_body(
         beta_k = vnorm(w).astype(rdt)
         broke = beta_k <= jnp.asarray(breakdown_threshold, rdt)
         safe = jnp.where(broke, jnp.ones((), rdt), beta_k)
-        v_next = w / safe.astype(dtype)
-        V = lax.cond(
-            broke,
-            lambda V: V,
-            lambda V: V.at[k + 1].set(v_next),
-            state.V,
+        # unconditional single-row write (a lax.cond over V would make XLA
+        # copy the whole basis buffer every step); on breakdown the row is
+        # written as zeros and never read (k stops advancing past it)
+        v_next = jnp.where(broke, jnp.zeros((), dtype), 1).astype(dtype) * (
+            w / safe.astype(dtype)
         )
+        V = state.V.at[k + 1].set(v_next)
         return LanczosState(
             V=V,
             alpha=state.alpha.at[k].set(alpha_k),
