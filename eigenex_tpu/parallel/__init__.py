@@ -1,4 +1,5 @@
 from .distributed import (
+    DistributedKrylovSchurArnoldiSolver,
     DistributedLanczosEigenSolver,
     DistributedThickRestartLanczosEigenSolver,
     distributed_arnoldi_steps,

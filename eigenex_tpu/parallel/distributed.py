@@ -42,6 +42,7 @@ from ..solvers.lanczos import (
     LanczosState,
     _lanczos_chunk_body,
 )
+from ..solvers.krylov_schur import KrylovSchurArnoldiSolver
 from ..solvers.restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
 from ..sparse.bsr import BSRMatrix
 from ..utils.exceptions import EigenexError
@@ -615,3 +616,48 @@ def split_bsr_halo(bsr: BSRMatrix, n_shards: int):
                 c[r, slot] = lc
         out[p] = (jnp.asarray(d), jnp.asarray(c))
     return out["diag"], out["left"], out["right"]
+
+
+class DistributedKrylovSchurArnoldiSolver(KrylovSchurArnoldiSolver):
+    """Krylov-Schur restarted Arnoldi with the iteration chunk
+    row-partitioned over a device mesh — the general-operator counterpart
+    of :class:`DistributedThickRestartLanczosEigenSolver`."""
+
+    def __init__(
+        self,
+        bsr: BSRMatrix,
+        mesh: Mesh | None = None,
+        options=None,
+        axis_name: str = ROWS,
+        matvec_mode: str = "allgather",
+    ):
+        mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        orig_n = bsr.shape[0]
+        bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
+        super().__init__(bsr.as_linear_operator(use_pallas=False), options)
+        self.bsr = bsr
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.matvec_mode = matvec_mode
+        self._halo_parts = (
+            split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
+        )
+        if bsr.shape[0] != orig_n:
+            self._initial_vector = _padding_safe_v0(
+                orig_n, bsr.shape[0], bsr.dtype, self.options.seed
+            )
+
+    def _run_arnoldi_chunk(self, op, state, num_steps, breakdown_threshold):
+        if num_steps <= 0:
+            return state
+        return distributed_arnoldi_steps(
+            self.bsr,
+            state,
+            state.H.shape[1],  # fixed chunk length: one program per config
+            self.mesh,
+            axis_name=self.axis_name,
+            shift=self.options.eigenvalue_shift,
+            breakdown_threshold=breakdown_threshold,
+            matvec_mode=self.matvec_mode,
+            halo_parts=self._halo_parts,
+        )
