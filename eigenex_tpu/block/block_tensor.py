@@ -553,12 +553,13 @@ def block_einsum(
 
     batch = "__batch__"
     batched_in = tuple((batch,) + tuple(labs) for labs in in_labels)
-    batched_out = (batch,) + tuple(out_labels)
     for (shapes, out_key), key_list in groups.items():
         stacks = [
             jnp.stack([tensors[i].blocks[keys[i]].astype(out_dtype) for keys in key_list])
             for i in range(len(tensors))
         ]
-        val = einsum_labels(stacks, batched_in, batched_out)
-        out.add_block(out_key, jnp.sum(val, axis=0))
+        # batch label absent from the output: einsum contracts it directly,
+        # never materializing the (B, *out_block) intermediate
+        val = einsum_labels(stacks, batched_in, tuple(out_labels))
+        out.add_block(out_key, val)
     return out

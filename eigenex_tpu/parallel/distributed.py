@@ -302,7 +302,46 @@ def distributed_lanczos_steps(
     return LanczosState(V=V, alpha=alpha, beta=beta, k=k, breakdown=brk)
 
 
-class DistributedLanczosEigenSolver(LanczosEigenSolver):
+class _DistributedBSRSolverMixin:
+    """Shared plumbing of the distributed solver drivers: mesh defaulting,
+    row padding (with a null-space-safe start vector), halo pre-split, and
+    the distributed Arnoldi chunk override used by the restarted solvers.
+
+    Subclasses call ``_init_distributed`` after their base ``__init__``."""
+
+    def _init_distributed(self, bsr, mesh, axis_name, matvec_mode, orig_n):
+        self.bsr = bsr
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.matvec_mode = matvec_mode
+        self._halo_parts = (
+            split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
+        )
+        if bsr.shape[0] != orig_n:
+            self._initial_vector = _padding_safe_v0(
+                orig_n, bsr.shape[0], bsr.dtype, self.options.seed
+            )
+
+    def _run_arnoldi_chunk(self, op, state, num_steps, breakdown_threshold):
+        if num_steps <= 0:
+            return state
+        # fixed chunk length (= m): steps past the subspace no-op inside
+        # the loop, and the compiled shard_map program is reused across
+        # restarts regardless of how many Ritz/Schur vectors were kept
+        return distributed_arnoldi_steps(
+            self.bsr,
+            state,
+            state.H.shape[1],
+            self.mesh,
+            axis_name=self.axis_name,
+            shift=self.options.eigenvalue_shift,
+            breakdown_threshold=breakdown_threshold,
+            matvec_mode=self.matvec_mode,
+            halo_parts=self._halo_parts,
+        )
+
+
+class DistributedLanczosEigenSolver(_DistributedBSRSolverMixin, LanczosEigenSolver):
     """Mesh-parallel Lanczos driver: same host control loop, convergence
     machinery and result surface as :class:`LanczosEigenSolver`, with the
     iteration chunk running under ``shard_map`` on a row-partitioned
@@ -320,17 +359,7 @@ class DistributedLanczosEigenSolver(LanczosEigenSolver):
         orig_n = bsr.shape[0]
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
         super().__init__(bsr.as_linear_operator(use_pallas=False), options)
-        self.bsr = bsr
-        self.mesh = mesh
-        self.axis_name = axis_name
-        self.matvec_mode = matvec_mode
-        self._halo_parts = (
-            split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
-        )
-        if bsr.shape[0] != orig_n:
-            self._initial_vector = _padding_safe_v0(
-                orig_n, bsr.shape[0], bsr.dtype, self.options.seed
-            )
+        self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n)
 
     def _run_chunk(self, op, state, num_steps, breakdown_threshold):
         o = self.options
@@ -365,24 +394,9 @@ def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode):
     def body(*args):
         op_arrays = args[:n_op_args]
         V, H, k, breakdown, residue, shift, bd = args[n_op_args:]
-        if mode == "allgather":
-            data, cols = op_arrays
-            nbr_local, _, bm, _ = data.shape
-            op_local = LinearOperator(
-                partial(_local_allgather_matvec, axis_name=axis_name, bn=bn),
-                (data, cols),
-                (nbr_local * bm, V.shape[1]),
-                V.dtype,
-            )
-        else:
-            dd, dc, ld, lc, rd, rc = op_arrays
-            nbr_local, _, bm, _ = dd.shape
-            op_local = LinearOperator(
-                lambda p, x: halo_matvec(*p, x, axis_name=axis_name, bn=bn),
-                (dd, dc, ld, lc, rd, rc),
-                (nbr_local * bm, V.shape[1]),
-                V.dtype,
-            )
+        op_local = _build_local_operator(
+            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype
+        )
         state = ArnoldiState(V=V, H=H, k=k, breakdown=breakdown, residue=residue)
         deflate = jnp.zeros((0, V.shape[1]), V.dtype)
         out = _arnoldi_chunk_body(
@@ -459,7 +473,9 @@ def distributed_arnoldi_steps(
     return ArnoldiState(V=V, H=H, k=k, breakdown=brk, residue=res)
 
 
-class DistributedThickRestartLanczosEigenSolver(ThickRestartLanczosEigenSolver):
+class DistributedThickRestartLanczosEigenSolver(
+    _DistributedBSRSolverMixin, ThickRestartLanczosEigenSolver
+):
     """Thick-restart Lanczos with the iteration chunk row-partitioned over
     a device mesh — the memory-bounded solver for operators whose Krylov
     basis cannot be held at full subspace size (the 10^8-row regime:
@@ -481,35 +497,7 @@ class DistributedThickRestartLanczosEigenSolver(ThickRestartLanczosEigenSolver):
         orig_n = bsr.shape[0]
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
         super().__init__(bsr.as_linear_operator(use_pallas=False), options)
-        self.bsr = bsr
-        self.mesh = mesh
-        self.axis_name = axis_name
-        self.matvec_mode = matvec_mode
-        self._halo_parts = (
-            split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
-        )
-        if bsr.shape[0] != orig_n:
-            self._initial_vector = _padding_safe_v0(
-                orig_n, bsr.shape[0], bsr.dtype, self.options.seed
-            )
-
-    def _run_arnoldi_chunk(self, op, state, num_steps, breakdown_threshold):
-        if num_steps <= 0:
-            return state
-        # fixed chunk length (= m): steps past the subspace no-op inside the
-        # loop, and the compiled shard_map program is reused across
-        # restarts regardless of how many Ritz vectors were kept
-        return distributed_arnoldi_steps(
-            self.bsr,
-            state,
-            state.H.shape[1],
-            self.mesh,
-            axis_name=self.axis_name,
-            shift=self.options.eigenvalue_shift,
-            breakdown_threshold=breakdown_threshold,
-            matvec_mode=self.matvec_mode,
-            halo_parts=self._halo_parts,
-        )
+        self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n)
 
 
 # ---------------------------------------------------------------------------
@@ -618,7 +606,7 @@ def split_bsr_halo(bsr: BSRMatrix, n_shards: int):
     return out["diag"], out["left"], out["right"]
 
 
-class DistributedKrylovSchurArnoldiSolver(KrylovSchurArnoldiSolver):
+class DistributedKrylovSchurArnoldiSolver(_DistributedBSRSolverMixin, KrylovSchurArnoldiSolver):
     """Krylov-Schur restarted Arnoldi with the iteration chunk
     row-partitioned over a device mesh — the general-operator counterpart
     of :class:`DistributedThickRestartLanczosEigenSolver`."""
@@ -635,29 +623,4 @@ class DistributedKrylovSchurArnoldiSolver(KrylovSchurArnoldiSolver):
         orig_n = bsr.shape[0]
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
         super().__init__(bsr.as_linear_operator(use_pallas=False), options)
-        self.bsr = bsr
-        self.mesh = mesh
-        self.axis_name = axis_name
-        self.matvec_mode = matvec_mode
-        self._halo_parts = (
-            split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
-        )
-        if bsr.shape[0] != orig_n:
-            self._initial_vector = _padding_safe_v0(
-                orig_n, bsr.shape[0], bsr.dtype, self.options.seed
-            )
-
-    def _run_arnoldi_chunk(self, op, state, num_steps, breakdown_threshold):
-        if num_steps <= 0:
-            return state
-        return distributed_arnoldi_steps(
-            self.bsr,
-            state,
-            state.H.shape[1],  # fixed chunk length: one program per config
-            self.mesh,
-            axis_name=self.axis_name,
-            shift=self.options.eigenvalue_shift,
-            breakdown_threshold=breakdown_threshold,
-            matvec_mode=self.matvec_mode,
-            halo_parts=self._halo_parts,
-        )
+        self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n)

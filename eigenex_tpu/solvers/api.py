@@ -19,7 +19,6 @@ import numpy as np
 
 from ..core.operators import aslinearoperator
 from ..utils.exceptions import EigenexError
-from .cg import shift_invert_operator
 from .gmres import shift_invert_operator_general
 from .krylov_schur import KrylovSchurArnoldiSolver, KrylovSchurOptions
 from .lanczos import LanczosEigenSolver, LanczosOptions, LanczosResult
@@ -52,25 +51,33 @@ def eigsh(
         raise EigenexError(f"which must be 'SA' or 'LA', got {which!r}")
 
     if sigma is not None:
-        # shift-invert: pairs nearest sigma dominate (A - σI)^-1
-        si = shift_invert_operator(op, sigma, tol=(tol or 1e-10) * 1e-2)
+        # Shift-invert: pairs nearest σ have the LARGEST |θ| of
+        # (A − σI)⁻¹ — θ can be large positive (λ just above σ) or large
+        # negative (λ just below σ), so track BOTH spectral ends and pick
+        # by |θ|.  The inner solve is GMRES, which tolerates the
+        # indefinite (A − σI) that any interior σ produces (CG does not).
+        si = shift_invert_operator_general(op, sigma, restart=64, cycles=6)
         m = min(max_subspace or max(4 * k + 16, 32), n)
+        kk = min(k, m // 2 - 1) if m // 2 - 1 > 0 else k
+        both_ends = tuple(range(kk)) + tuple(range(-kk, 0))
         res = LanczosEigenSolver(
             si,
             LanczosOptions(
-                max_eigenvalues=k,
-                eigenvalue_indices=tuple(range(-k, 0)),  # dominant θ
+                max_eigenvalues=2 * kk,
+                eigenvalue_indices=both_ends,
                 tolerance=tol,
                 max_subspace=m,
                 seed=seed,
             ),
         ).compute()
-        theta = np.asarray(res.eigenvalues)[::-1]  # largest θ first
-        lam = float(np.real(sigma)) + 1.0 / theta
-        order = np.argsort(lam)
-        vecs = res.eigenvectors[:, ::-1][:, order] if res.eigenvectors is not None else None
+        theta = np.asarray(res.eigenvalues)
+        nonzero = np.abs(theta) > 0
+        lam_all = np.where(nonzero, float(np.real(sigma)) + 1.0 / np.where(nonzero, theta, 1.0), np.inf)
+        pick = np.argsort(np.abs(lam_all - float(np.real(sigma))))[:k]
+        order = pick[np.argsort(lam_all[pick])]
+        vecs = res.eigenvectors[:, order] if res.eigenvectors is not None else None
         return LanczosResult(
-            eigenvalues=lam[order],
+            eigenvalues=lam_all[order],
             eigenvectors=vecs,
             iterations=res.iterations,
             converged=res.converged,

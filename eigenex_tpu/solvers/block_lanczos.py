@@ -215,8 +215,22 @@ class BlockLanczosEigenSolver:
 
             if bool(state.breakdown):
                 termination = "breakdown"
-                converged = bool(idx)
-                self.trace.log(Severity.INFO, f"block breakdown at k={k}")
+                # rank deficiency of ONE residual direction does not imply
+                # the tracked Ritz values converged (unlike single-vector
+                # Lanczos, where β=0 means an exactly-invariant subspace);
+                # report converged only if the successive test had passed
+                converged = bool(
+                    idx
+                    and prev is not None
+                    and len(prev) == len(cur)
+                    and theta.size > 1
+                    and float(np.max(np.abs(cur - prev)))
+                    <= tol * max(float(theta[-1] - theta[0]), 1.0)
+                )
+                self.trace.log(
+                    Severity.INFO,
+                    f"block breakdown at k={k} (rank-deficient residual block)",
+                )
                 break
             if int(state.k) > m:
                 termination = "full_subspace" if m >= n else "max_iterations"

@@ -58,7 +58,7 @@ def gmres_solve(
         # the absolute dtype default would spuriously reject small-norm
         # residuals of well-scaled systems
         state = init_arnoldi_state(op, m, v0=r, breakdown_threshold=0.0)
-        state = arnoldi_steps(op, state, m)
+        state = arnoldi_steps(op, state, m, breakdown_threshold=0.0)
         k = int(state.k)
         H = np.asarray(
             state.H[: k + 1, :k],

@@ -116,7 +116,6 @@ class KrylovSchurArnoldiSolver:
         total = 0
         termination = "max_restarts"
         converged = False
-        cdt = np.complex128 if jnp.iscomplexobj(state.H) or True else np.float64
 
         for restart in range(o.max_restarts + 1):
             k0 = int(state.k)
@@ -160,18 +159,28 @@ class KrylovSchurArnoldiSolver:
             # qsᴴ H[:k,:k] qs with coupling row <r, A w_i> = β qs[k-1, i]
             # — no extra matvecs, works for real and complex alike.
             pk = min(p, k - 1)
-            Qk = Q[:, :pk]
             if jnp.iscomplexobj(state.V):
-                qs = Qk  # complex basis keeps complex Schur vectors directly
-            elif np.allclose(Qk.imag, 0, atol=1e-14):
-                qs = np.ascontiguousarray(Qk.real)
+                qs = Q[:, :pk]  # complex basis keeps Schur vectors directly
             else:
-                # real basis + complex Schur pairs: orthonormalize the real
-                # span of {Re q_i, Im q_i} in coefficient space
-                span = np.concatenate([Qk.real, Qk.imag], axis=1)
-                u, s, _ = np.linalg.svd(span, full_matrices=False)
-                rank = int(np.sum(s > (s[0] if s.size else 1) * 1e-10))
-                qs = u[:, : min(rank, m - 2)]
+                # Real basis: keep the real span of {Re q_i, Im q_i}.  The
+                # span's rank can reach 2·pk; truncating it would break the
+                # Arnoldi decomposition invariance, so instead REDUCE the
+                # number of kept Schur vectors until the full span fits.
+                qs = None
+                for pk_try in range(pk, 0, -1):
+                    Qk = Q[:, :pk_try]
+                    if np.allclose(Qk.imag, 0, atol=1e-14):
+                        cand = np.ascontiguousarray(Qk.real)
+                    else:
+                        span = np.concatenate([Qk.real, Qk.imag], axis=1)
+                        u, s, _ = np.linalg.svd(span, full_matrices=False)
+                        rank = int(np.sum(s > (s[0] if s.size else 1) * 1e-10))
+                        cand = u[:, :rank]
+                    if cand.shape[1] <= m - 2:
+                        qs = cand
+                        break
+                if qs is None:  # pathological; restart from the residual alone
+                    qs = np.zeros((k, 0))
             pk2 = qs.shape[1]
             H_new = np.zeros((m + 1, m), np.asarray(state.H).dtype)
             Hp = qs.conj().T @ H @ qs

@@ -174,14 +174,18 @@ class COOMatrix:
     # -- transforms (pure; return new containers) ------------------------
     def _resorted(self, row, col, val, shape) -> "COOMatrix":
         """Restore the row-sorted invariant that segment_sum's
-        ``indices_are_sorted=True`` fast path depends on."""
+        ``indices_are_sorted=True`` fast path depends on.
+
+        Host-side operation: preserves the array kind — NumPy-backed
+        (``build(to_device=False)``) matrices stay on host (keeping f64
+        on TPU machines), device-backed ones go back to the device."""
+        host = isinstance(val, np.ndarray)
         r = np.asarray(row)
         c = np.asarray(col)
         v = np.asarray(val)
         order = np.lexsort((c, r))
-        return COOMatrix(
-            jnp.asarray(r[order]), jnp.asarray(c[order]), jnp.asarray(v[order]), shape
-        )
+        conv = (lambda a: a) if host else jnp.asarray
+        return COOMatrix(conv(r[order]), conv(c[order]), conv(v[order]), shape)
 
     def transpose(self) -> "COOMatrix":
         """cf. transpose triplets_matrix.hpp:386-404 (re-sorted row-major)."""

@@ -57,3 +57,18 @@ def test_eigs_dominant(key):
 def test_which_validation(key):
     with pytest.raises(EigenexError):
         eigsh(random_hermitian(key, 4, jnp.float64), k=1, which="SM")
+
+
+def test_eigsh_sigma_nearest_below(key):
+    """Review regression: the nearest eigenvalue lying BELOW sigma has a
+    large NEGATIVE theta — tracking only the algebraic top of the
+    shift-inverted spectrum missed it."""
+    import jax
+
+    A = random_hermitian(jax.random.PRNGKey(5), 60, jnp.float64)
+    ref = np.linalg.eigvalsh(np.asarray(A))
+    gap = ref[31] - ref[30]
+    sigma = float(ref[30] + 0.1 * gap)  # nearest eigenvalue is below sigma
+    res = eigsh(A, k=3, sigma=sigma, tol=1e-10, max_subspace=40)
+    near = np.sort(ref[np.argsort(np.abs(ref - sigma))[:3]])
+    np.testing.assert_allclose(np.sort(res.eigenvalues), near, atol=1e-8)
