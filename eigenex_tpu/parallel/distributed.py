@@ -153,9 +153,11 @@ def _get_dist_chunk(
     def body(*args):
         op_arrays = args[:n_op_args]
         if si_cg_iters is None:
-            V, alpha, beta, k, breakdown, shift, bd, deflate = args[n_op_args:]
+            V, alpha, beta, k, breakdown, failed, shift, bd, deflate = args[n_op_args:]
         else:
-            V, alpha, beta, k, breakdown, shift, bd, deflate, sigma, cg_tol = args[n_op_args:]
+            (
+                V, alpha, beta, k, breakdown, failed, shift, bd, deflate, sigma, cg_tol,
+            ) = args[n_op_args:]
         op_local = _build_local_operator(
             mode, op_arrays, axis_name, bn, V.shape[1], V.dtype
         )
@@ -187,7 +189,9 @@ def _get_dist_chunk(
             op_local = LinearOperator(
                 si_matvec, (base, sigma.astype(V.dtype), cg_tol), base.shape, base.dtype
             )
-        state = LanczosState(V=V, alpha=alpha, beta=beta, k=k, breakdown=breakdown)
+        state = LanczosState(
+            V=V, alpha=alpha, beta=beta, k=k, breakdown=breakdown, failed=failed
+        )
         out = _lanczos_chunk_body(
             op_local,
             state,
@@ -199,7 +203,7 @@ def _get_dist_chunk(
             has_deflate=has_deflate,
             axis_name=axis_name,
         )
-        return out.V, out.alpha, out.beta, out.k, out.breakdown
+        return out.V, out.alpha, out.beta, out.k, out.breakdown, out.failed
 
     state_specs = (
         P(None, axis_name),  # V: basis columns (vector entries) sharded
@@ -207,6 +211,7 @@ def _get_dist_chunk(
         P(),  # beta
         P(),  # k
         P(),  # breakdown
+        P(),  # failed
         P(),  # shift
         P(),  # breakdown threshold
         P(None, axis_name),  # deflation rows
@@ -217,7 +222,7 @@ def _get_dist_chunk(
         body,
         mesh=mesh,
         in_specs=(P(axis_name),) * n_op_args + state_specs,
-        out_specs=(P(None, axis_name), P(), P(), P(), P()),
+        out_specs=(P(None, axis_name), P(), P(), P(), P(), P()),
     )
     fn = jax.jit(sharded)
     _DIST_CHUNK_CACHE[key] = fn
@@ -287,19 +292,20 @@ def distributed_lanczos_steps(
     extra = ()
     if shift_invert_sigma is not None:
         extra = (jnp.asarray(shift_invert_sigma, rdt), jnp.asarray(cg_tol, rdt))
-    V, alpha, beta, k, brk = fn(
+    V, alpha, beta, k, brk, failed = fn(
         *op_arrays,
         state.V,
         state.alpha,
         state.beta,
         state.k,
         state.breakdown,
+        state.failed,
         jnp.asarray(shift),
         jnp.asarray(breakdown_threshold, rdt),
         jnp.asarray(deflate, bsr.dtype),
         *extra,
     )
-    return LanczosState(V=V, alpha=alpha, beta=beta, k=k, breakdown=brk)
+    return LanczosState(V=V, alpha=alpha, beta=beta, k=k, breakdown=brk, failed=failed)
 
 
 class _DistributedBSRSolverMixin:
@@ -393,11 +399,13 @@ def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode):
 
     def body(*args):
         op_arrays = args[:n_op_args]
-        V, H, k, breakdown, residue, shift, bd = args[n_op_args:]
+        V, H, k, breakdown, residue, failed, shift, bd = args[n_op_args:]
         op_local = _build_local_operator(
             mode, op_arrays, axis_name, bn, V.shape[1], V.dtype
         )
-        state = ArnoldiState(V=V, H=H, k=k, breakdown=breakdown, residue=residue)
+        state = ArnoldiState(
+            V=V, H=H, k=k, breakdown=breakdown, residue=residue, failed=failed
+        )
         deflate = jnp.zeros((0, V.shape[1]), V.dtype)
         out = _arnoldi_chunk_body(
             op_local,
@@ -409,7 +417,7 @@ def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode):
             has_deflate=False,
             axis_name=axis_name,
         )
-        return out.V, out.H, out.k, out.breakdown, out.residue
+        return out.V, out.H, out.k, out.breakdown, out.residue, out.failed
 
     sharded = shard_map(
         body,
@@ -421,10 +429,11 @@ def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode):
             P(),  # k
             P(),  # breakdown
             P(),  # residue
+            P(),  # failed
             P(),  # shift
             P(),  # breakdown threshold
         ),
-        out_specs=(P(None, axis_name), P(), P(), P(), P()),
+        out_specs=(P(None, axis_name), P(), P(), P(), P(), P()),
     )
     fn = jax.jit(sharded)
     _DIST_ARNOLDI_CACHE[key] = fn
@@ -460,17 +469,18 @@ def distributed_arnoldi_steps(
         op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
     else:
         op_arrays = (bsr.data, bsr.block_cols)
-    V, H, k, brk, res = fn(
+    V, H, k, brk, res, failed = fn(
         *op_arrays,
         state.V,
         state.H,
         state.k,
         state.breakdown,
         state.residue,
+        state.failed,
         jnp.asarray(shift),
         jnp.asarray(breakdown_threshold, rdt),
     )
-    return ArnoldiState(V=V, H=H, k=k, breakdown=brk, residue=res)
+    return ArnoldiState(V=V, H=H, k=k, breakdown=brk, residue=res, failed=failed)
 
 
 class DistributedThickRestartLanczosEigenSolver(

@@ -72,6 +72,7 @@ class ArnoldiState:
     k: jax.Array  # () int32 completed steps
     breakdown: jax.Array  # () bool
     residue: jax.Array  # () real — ‖w‖ after last orthogonalization (arnoldi.hpp:348)
+    failed: jax.Array  # () bool — NaN/Inf detected (numerical failure)
 
 
 @dataclasses.dataclass
@@ -126,6 +127,8 @@ def init_arnoldi_state(
         v0 = project_out(jnp.asarray(deflate, dtype), v0)
     nrm = float(jnp.linalg.norm(v0))
     thr = breakdown_threshold if breakdown_threshold is not None else default_breakdown_threshold(dtype)
+    if not np.isfinite(nrm):
+        raise ArnoldiError(f"initial vector is not finite (norm {nrm})")
     if nrm <= thr:
         raise ArnoldiError(
             f"initial vector has (post-deflation) norm {nrm:.3e} <= breakdown threshold {thr:.3e}"
@@ -137,6 +140,7 @@ def init_arnoldi_state(
         k=jnp.zeros((), jnp.int32),
         breakdown=jnp.zeros((), jnp.bool_),
         residue=jnp.asarray(nrm, rdt),
+        failed=jnp.zeros((), jnp.bool_),
     )
 
 
@@ -182,24 +186,48 @@ def _arnoldi_chunk_body(
             w = project_out(deflate, w, axis_name=axis_name)
         mask = row_ids <= k
         w, h_col = cgs2(state.V, w, axis_name=axis_name, mask=mask)
+        if has_deflate:
+            # re-deflate after the O(1)-coefficient projection: it
+            # reintroduces a deflate component proportional to the basis'
+            # accumulated deflate drift, which otherwise grows
+            # geometrically (cf. arnoldi.hpp:373-375)
+            w = project_out(deflate, w, axis_name=axis_name)
         residue = vnorm(w).astype(rdt)
-        broke = residue <= jnp.asarray(breakdown_threshold, rdt)
-        safe = jnp.where(broke, jnp.ones((), rdt), residue)
-        # unconditional single-row write (a lax.cond over V would copy the
-        # whole basis each step); the row is zero on breakdown, never read
-        v_next = jnp.where(broke, jnp.zeros((), dtype), 1).astype(dtype) * (
-            w / safe.astype(dtype)
+        # NaN/Inf guard (cf. the reference's residue-breakdown exits,
+        # arnoldi.hpp:277-288): non-finite Hessenberg column or residue
+        # means the matvec overflowed — terminate, don't iterate garbage.
+        failed_now = jnp.logical_not(
+            jnp.isfinite(residue) & jnp.all(jnp.isfinite(h_col))
         )
+        broke = jnp.logical_not(failed_now) & (
+            residue <= jnp.asarray(breakdown_threshold, rdt)
+        )
+        ok = jnp.logical_not(broke | failed_now)
+        safe = jnp.where(ok, residue, jnp.ones((), rdt))
+        # unconditional single-row write (a lax.cond over V would copy the
+        # whole basis each step); the row is zero on breakdown/failure,
+        # never read; jnp.where (selection) keeps NaNs out.
+        v_next = jnp.where(ok, w / safe.astype(dtype), jnp.zeros_like(w))
         # column k of H: projection coefficients + subdiagonal residue
-        h_col = h_col.at[k + 1].set(residue.astype(dtype))
+        h_col = h_col.at[k + 1].set(jnp.where(ok, residue, 0).astype(dtype))
+        h_col = jnp.where(failed_now, jnp.zeros_like(h_col), h_col)
         H = state.H.at[:, k].set(h_col)
         V = state.V.at[k + 1].set(v_next)
         return ArnoldiState(
-            V=V, H=H, k=k + 1, breakdown=state.breakdown | broke, residue=residue
+            V=V,
+            H=H,
+            k=k + jnp.where(failed_now, 0, 1).astype(k.dtype),
+            breakdown=state.breakdown | broke,
+            residue=jnp.where(failed_now, state.residue, residue),
+            failed=state.failed | failed_now,
         )
 
     def body(_, state):
-        active = jnp.logical_not(state.breakdown) & (state.k < m)
+        active = (
+            jnp.logical_not(state.breakdown)
+            & jnp.logical_not(state.failed)
+            & (state.k < m)
+        )
         return lax.cond(active, step, lambda s: s, state)
 
     return lax.fori_loop(0, num_steps, body, state)
@@ -392,6 +420,7 @@ class ArnoldiEigenSolver:
                 k=s.k,
                 breakdown=s.breakdown,
                 residue=s.residue,
+                failed=s.failed,
             )
         self.trace.log(Severity.INFO, "continueToCompute: resuming")
         return self._main_loop()
@@ -421,6 +450,20 @@ class ArnoldiEigenSolver:
             resid = float(self.state.residue)
             self.trace.record(k, cur_tracked, resid, time.perf_counter() - t0)
 
+            if bool(self.state.failed):
+                termination = "numerical_failure"
+                converged = False
+                self.trace.log(
+                    Severity.ERROR,
+                    f"numerical failure at k={k}: non-finite Hessenberg/residue "
+                    "(operator overflow or NaN)",
+                )
+                if k == 0:
+                    raise ArnoldiError(
+                        "numerical failure on the first Arnoldi step: the "
+                        "operator produced non-finite values (overflow/NaN)"
+                    )
+                break
             if bool(self.state.breakdown):
                 termination = "breakdown"
                 converged = bool(idx)

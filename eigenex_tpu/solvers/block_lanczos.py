@@ -55,6 +55,7 @@ class BlockLanczosState:
     H: jax.Array  # (m + b, m) band-projected matrix columns
     k: jax.Array  # () int32 — filled rows (multiple of b)
     breakdown: jax.Array  # () bool
+    failed: jax.Array  # () bool — NaN/Inf detected (numerical failure)
 
 
 def init_block_lanczos_state(
@@ -79,6 +80,7 @@ def init_block_lanczos_state(
         H=jnp.zeros((m + b, m), dtype),
         k=jnp.asarray(b, jnp.int32),
         breakdown=jnp.zeros((), jnp.bool_),
+        failed=jnp.zeros((), jnp.bool_),
     )
 
 
@@ -119,22 +121,38 @@ def _block_chunk(
         R = jnp.conj(phase)[:, None] * R
         # breakdown: residual block rank-deficient
         rmin = jnp.min(jnp.abs(jnp.diagonal(R)))
-        broke = rmin <= jnp.asarray(breakdown_threshold, rdt)
         # H column block k-b..k: projections + the new R block rows
         Hcol = C_total  # (m+b, b) — includes rows < k
         Hcol = lax.dynamic_update_slice(Hcol, R.astype(dtype), (k, jnp.asarray(0, k.dtype)))
+        # NaN/Inf guard: a non-finite projected column means the operator
+        # overflowed — stop cleanly instead of filling H with garbage
+        failed_now = jnp.logical_not(
+            jnp.isfinite(rmin) & jnp.all(jnp.isfinite(Hcol))
+        )
+        broke = jnp.logical_not(failed_now) & (
+            rmin <= jnp.asarray(breakdown_threshold, rdt)
+        )
+        ok = jnp.logical_not(broke | failed_now)
+        Hcol = jnp.where(failed_now, jnp.zeros_like(Hcol), Hcol)
         H = lax.dynamic_update_slice(state.H, Hcol, (jnp.asarray(0, k.dtype), k - b))
+        H = jnp.where(failed_now, state.H, H)
         # unconditional block write (cond over V copies the whole basis);
-        # zeros on breakdown, never read
-        Qw = jnp.where(broke, jnp.zeros((), dtype), 1).astype(dtype) * Q.T
+        # zeros on breakdown/failure, never read; where() keeps NaNs out
+        Qw = jnp.where(ok, Q.T, jnp.zeros_like(Q.T))
         V = lax.dynamic_update_slice(state.V, Qw, (k, jnp.asarray(0, k.dtype)))
-        return BlockLanczosState(V=V, H=H, k=k + b, breakdown=state.breakdown | broke)
+        return BlockLanczosState(
+            V=V,
+            H=H,
+            k=k + jnp.where(failed_now, 0, b).astype(k.dtype),
+            breakdown=state.breakdown | broke,
+            failed=state.failed | failed_now,
+        )
 
     def body(_, s):
         # a step at k computes H's column block k-b..k, so the last useful
         # step starts at k == m (filling columns m-b..m and basis rows
         # m..m+b); k reaches m+b when the projected matrix is complete
-        active = jnp.logical_not(s.breakdown) & (s.k <= m)
+        active = jnp.logical_not(s.breakdown) & jnp.logical_not(s.failed) & (s.k <= m)
         return lax.cond(active, step, lambda s: s, s)
 
     return lax.fori_loop(0, num_steps, body, state)
@@ -213,6 +231,19 @@ class BlockLanczosEigenSolver:
             cur = theta[idx] if idx else np.zeros(0)
             self.trace.record(k, cur, float("nan"), time.perf_counter() - t0)
 
+            if bool(state.failed):
+                termination = "numerical_failure"
+                converged = False
+                self.trace.log(
+                    Severity.ERROR,
+                    f"numerical failure at k={k}: non-finite projected block "
+                    "(operator overflow or NaN)",
+                )
+                if k <= 0:
+                    raise LanczosError(
+                        "numerical failure on the first block-Lanczos step"
+                    )
+                break
             if bool(state.breakdown):
                 termination = "breakdown"
                 # rank deficiency of ONE residual direction does not imply

@@ -42,7 +42,9 @@ def _cg_loop(op: LinearOperator, b, x0, tol, *, max_iters: int, axis_name: str |
 
     def cond(carry):
         i, x, r, p, rs = carry
-        return (i < max_iters) & (jnp.real(rs) > target2)
+        # the isfinite guard stops the loop as soon as the recurrence goes
+        # non-finite (overflow/NaN operator) instead of iterating garbage
+        return (i < max_iters) & (jnp.real(rs) > target2) & jnp.isfinite(jnp.real(rs))
 
     def body(carry):
         i, x, r, p, rs = carry

@@ -47,12 +47,17 @@ def gmres_solve(
         return jnp.zeros_like(b), 0.0, 0
 
     rel = np.inf
+    x_prev = x
     for cycle in range(max_restarts):
         r = b - op.matvec(x)
         beta = float(jnp.linalg.norm(r))
         rel = beta / bnorm
+        if not np.isfinite(rel):
+            # numerical failure: return the last finite iterate, flagged
+            return x_prev, float("inf"), cycle
         if rel <= tol:
             return x, rel, cycle
+        x_prev = x
         m = min(restart, op.shape[0])
         # breakdown_threshold=0: ||r|| is already known > 0 (rel > tol) and
         # the absolute dtype default would spuriously reject small-norm
@@ -73,13 +78,22 @@ def gmres_solve(
     return x, rel, max_restarts
 
 
-def gmres_solve_jit(op, b, x0=None, *, restart: int = 32, cycles: int = 10):
-    """Fully jittable GMRES(m) with a FIXED number of restart cycles.
+def gmres_solve_jit(op, b, x0=None, *, restart: int = 32, cycles: int = 10, tol=0.0):
+    """Fully jittable GMRES(m) with residual-controlled restart cycles.
 
     All device compute: per cycle one Arnoldi build (the same chunk the
     eigensolver uses) + an on-device least-squares (SVD) of the tiny
-    (m+1, m) Hessenberg.  Use inside jitted pipelines (e.g. shift-invert
-    matvecs); for adaptive stopping use :func:`gmres_solve`."""
+    (m+1, m) Hessenberg, inside ``lax.while_loop`` — at most ``cycles``
+    cycles, stopping early once the relative residual reaches ``tol``.
+    The residual is read off the small least-squares problem
+    (‖b − A·x_new‖ = min_y ‖β e₁ − H̄ y‖, the GMRES identity), so the
+    stopping test costs no extra matvec.  ``tol=0`` reproduces the plain
+    fixed-budget loop.  Non-finite iterates (operator overflow) terminate
+    the loop with the last finite ``x``.
+
+    Use inside jitted pipelines (e.g. shift-invert matvecs); for
+    host-controlled stopping with unlimited restarts use
+    :func:`gmres_solve`."""
     from ..utils.tolerance import real_dtype_of
     from .arnoldi import ArnoldiState, _arnoldi_chunk
 
@@ -91,10 +105,19 @@ def gmres_solve_jit(op, b, x0=None, *, restart: int = 32, cycles: int = 10):
     b = jnp.asarray(b, dtype)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype)
     zero_deflate = jnp.zeros((0, n), dtype)
+    bnorm = jnp.linalg.norm(b).astype(rdt)
+    safe_bnorm = jnp.where(bnorm > 0, bnorm, jnp.ones((), rdt))
+    tol = jnp.asarray(tol, rdt)
+    cycles = int(cycles)
 
-    def cycle(x, _):
+    def cond(carry):
+        x, i, rel = carry
+        return (i < cycles) & (rel > tol) & jnp.isfinite(rel)
+
+    def body(carry):
+        x, i, _ = carry
         r = b - op.matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = jnp.linalg.norm(r).astype(rdt)
         safe = jnp.where(beta > 0, beta, 1)
         state = ArnoldiState(
             V=jnp.zeros((m + 1, n), dtype).at[0].set(r / safe.astype(dtype)),
@@ -102,6 +125,7 @@ def gmres_solve_jit(op, b, x0=None, *, restart: int = 32, cycles: int = 10):
             k=jnp.zeros((), jnp.int32),
             breakdown=(beta <= jnp.asarray(0, rdt)).astype(jnp.bool_),
             residue=beta.astype(rdt),
+            failed=jnp.zeros((), jnp.bool_),
         )
         state = _arnoldi_chunk(
             op,
@@ -114,22 +138,42 @@ def gmres_solve_jit(op, b, x0=None, *, restart: int = 32, cycles: int = 10):
         )
         e1 = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
         y, *_ = jnp.linalg.lstsq(state.H, e1)
-        return x + state.V[:m].T @ y, None
+        res_small = jnp.linalg.norm(state.H @ y - e1).astype(rdt)
+        x_new = x + state.V[:m].T @ y
+        ok = jnp.all(jnp.isfinite(x_new)) & jnp.logical_not(state.failed)
+        x_new = jnp.where(ok, x_new, x)
+        rel_new = jnp.where(ok, res_small / safe_bnorm, jnp.asarray(jnp.inf, rdt))
+        return (x_new, i + 1, rel_new)
 
-    x, _ = jax.lax.scan(cycle, x, None, length=int(cycles))
+    # the initial "residual" sentinel must be FINITE (the cond's isfinite
+    # guard is for mid-run overflow) and larger than any meaningful tol
+    x, _, _ = jax.lax.while_loop(
+        cond, body, (x, jnp.zeros((), jnp.int32), jnp.asarray(jnp.finfo(rdt).max, rdt))
+    )
     return x
 
 
 def shift_invert_operator_general(
-    op, sigma, *, restart: int = 48, cycles: int = 8
+    op, sigma, *, restart: int = 48, cycles: int = 24, tol: float | None = None
 ) -> LinearOperator:
     """(A − σI)⁻¹ for a general operator, inner-solved with jittable
-    GMRES(restart)×cycles — feeds :class:`ArnoldiEigenSolver` for
-    interior eigenvalues of nonsymmetric operators."""
+    residual-controlled GMRES(restart) — feeds :class:`ArnoldiEigenSolver`
+    for interior eigenvalues of nonsymmetric operators.
+
+    ``tol``: inner relative-residual target per applied matvec; the outer
+    Ritz accuracy is bounded below by this (a loose inner solve silently
+    degrades eigenvalues), so it defaults to the dtype tolerance
+    (1e-12 f64 / 1e-4 f32, cf. lanczos.hpp:67-78).  ``cycles`` is now
+    only a cap — early stopping makes a generous budget cheap."""
+    from ..utils.tolerance import default_tolerance
+
     op = aslinearoperator(op)
     sigma = jnp.asarray(sigma, op.dtype)
     restart = int(restart)
     cycles = int(cycles)
+    if tol is None:
+        tol = default_tolerance(op.dtype)
+    tol = float(tol)
 
     def si_matvec(p, x):
         inner_op, sig = p
@@ -139,6 +183,6 @@ def shift_invert_operator_general(
             inner_op.shape,
             inner_op.dtype,
         )
-        return gmres_solve_jit(shifted, x, restart=restart, cycles=cycles)
+        return gmres_solve_jit(shifted, x, restart=restart, cycles=cycles, tol=tol)
 
     return LinearOperator(si_matvec, (op, sigma), op.shape, op.dtype)

@@ -122,6 +122,17 @@ class KrylovSchurArnoldiSolver:
             state = self._run_arnoldi_chunk(op, state, m - k0, bd)
             k = int(state.k)
             total += k - k0
+            if bool(state.failed):
+                termination = "numerical_failure"
+                converged = False
+                self.trace.log(
+                    Severity.ERROR,
+                    f"numerical failure at {total} iterations: non-finite "
+                    "Hessenberg (operator overflow or NaN)",
+                )
+                if k == 0:
+                    raise ArnoldiError("numerical failure on the first Arnoldi step")
+                break
             H = np.asarray(state.H[:k, :k]).astype(np.complex128)
             beta = float(self.state_residue(state))
             T, Q, evals_desc = _ordered_schur(H, min(p, k - 1))
@@ -196,6 +207,7 @@ class KrylovSchurArnoldiSolver:
                 k=jnp.asarray(pk2, jnp.int32),
                 breakdown=jnp.zeros((), jnp.bool_),
                 residue=state.residue,
+                failed=jnp.zeros((), jnp.bool_),
             )
 
         # ---- extraction ----

@@ -138,6 +138,7 @@ class LanczosState:
     beta: jax.Array  # (m,) real off-diagonal; beta[k-1] links V[k-1],V[k]
     k: jax.Array  # () int32, number of completed steps
     breakdown: jax.Array  # () bool
+    failed: jax.Array  # () bool — NaN/Inf detected (numerical failure)
 
 
 @dataclasses.dataclass
@@ -190,6 +191,8 @@ def init_lanczos_state(
     thr = breakdown_threshold
     if thr is None:
         thr = default_breakdown_threshold(dtype)
+    if not np.isfinite(nrm):
+        raise LanczosError(f"initial vector is not finite (norm {nrm})")
     if nrm <= thr:
         # initial-vector breakdown is a *configuration* failure and can be
         # raised eagerly on host (cf. lanczos.hpp:316-321)
@@ -205,6 +208,7 @@ def init_lanczos_state(
         beta=jnp.zeros((m,), rdt),
         k=jnp.zeros((), jnp.int32),
         breakdown=jnp.zeros((), jnp.bool_),
+        failed=jnp.zeros((), jnp.bool_),
     )
 
 
@@ -253,48 +257,78 @@ def _lanczos_chunk_body(
         vk = state.V[k]
         with jax.named_scope("lanczos/matvec"):
             w = op.matvec(vk) + jnp.asarray(shift, dtype) * vk
-        alpha_k = psum_if(jnp.real(jnp.vdot(vk, w))).astype(rdt)
-        # three-term recurrence (beta[k-1] term masked out at k == 0)
-        km1 = jnp.maximum(k - 1, 0)
-        beta_prev = jnp.where(k > 0, state.beta[km1], jnp.zeros((), rdt))
-        w = w - alpha_k.astype(dtype) * vk - beta_prev.astype(dtype) * state.V[km1]
-        if has_deflate:
-            # keep iterates out of the user-supplied deflation space
-            # (lanczos.hpp:421-425)
-            w = project_out(deflate, w, axis_name=axis_name)
-        if reorthogonalize_interval > 0:
+        if reorthogonalize_interval == 1:
+            # fused path: the masked-CGS2 coefficients against rows <= k
+            # CONTAIN the recurrence — c[k] = <v_k, w> is alpha_k and
+            # c[k-1] the beta_prev term — so no separate alpha dot-product
+            # (one fewer psum per step on a mesh) and no explicit
+            # three-term subtraction (it is the k, k-1 part of the
+            # projection).  Numerically this is exactly Arnoldi's
+            # Hessenberg-column CGS2 specialized to a Hermitian operator.
             mask = row_ids <= k
+            with jax.named_scope("lanczos/reorth"):
+                w, c = cgs2(state.V, w, axis_name=axis_name, mask=mask)
+            alpha_k = jnp.real(c[k]).astype(rdt)
+            if has_deflate:
+                # deflate AFTER the projection: the CGS coefficients are
+                # O(1) here, so projecting against V re-introduces a
+                # deflate component of order |c|·(V's deflate drift) that
+                # would otherwise amplify geometrically step over step
+                # (lanczos.hpp:421-425)
+                w = project_out(deflate, w, axis_name=axis_name)
+        else:
+            if has_deflate:
+                # keep iterates out of the user-supplied deflation space
+                # (lanczos.hpp:421-425)
+                w = project_out(deflate, w, axis_name=axis_name)
+            alpha_k = psum_if(jnp.real(jnp.vdot(vk, w))).astype(rdt)
+            # three-term recurrence (beta[k-1] term masked out at k == 0)
+            km1 = jnp.maximum(k - 1, 0)
+            beta_prev = jnp.where(k > 0, state.beta[km1], jnp.zeros((), rdt))
+            w = w - alpha_k.astype(dtype) * vk - beta_prev.astype(dtype) * state.V[km1]
+            if reorthogonalize_interval > 0:
+                mask = row_ids <= k
 
-            def reorth(w):
-                with jax.named_scope("lanczos/reorth"):
-                    w2, _ = cgs2(state.V, w, axis_name=axis_name, mask=mask)
-                return w2
+                def reorth(w):
+                    with jax.named_scope("lanczos/reorth"):
+                        w2, _ = cgs2(state.V, w, axis_name=axis_name, mask=mask)
+                    return w2
 
-            if reorthogonalize_interval == 1:
-                w = reorth(w)
-            else:
                 do = (k + 1) % reorthogonalize_interval == 0
                 w = lax.cond(do, reorth, lambda w: w, w)
         beta_k = vnorm(w).astype(rdt)
-        broke = beta_k <= jnp.asarray(breakdown_threshold, rdt)
-        safe = jnp.where(broke, jnp.ones((), rdt), beta_k)
-        # unconditional single-row write (a lax.cond over V would make XLA
-        # copy the whole basis buffer every step); on breakdown the row is
-        # written as zeros and never read (k stops advancing past it)
-        v_next = jnp.where(broke, jnp.zeros((), dtype), 1).astype(dtype) * (
-            w / safe.astype(dtype)
+        # NaN/Inf guard (cf. the reference's failure-first design,
+        # lanczos.hpp:316-347,433-437: every numerical failure terminates
+        # cleanly): a non-finite alpha/beta means the matvec overflowed or
+        # produced NaN — stop, don't iterate garbage to max_iters.
+        failed_now = jnp.logical_not(jnp.isfinite(alpha_k) & jnp.isfinite(beta_k))
+        broke = jnp.logical_not(failed_now) & (
+            beta_k <= jnp.asarray(breakdown_threshold, rdt)
         )
+        ok = jnp.logical_not(broke | failed_now)
+        safe = jnp.where(ok, beta_k, jnp.ones((), rdt))
+        # unconditional single-row write (a lax.cond over V would make XLA
+        # copy the whole basis buffer every step); on breakdown/failure the
+        # row is written as zeros and never read (k stops advancing);
+        # jnp.where (selection, not multiplication) keeps NaNs out.
+        v_next = jnp.where(ok, w / safe.astype(dtype), jnp.zeros_like(w))
         V = state.V.at[k + 1].set(v_next)
+        zero = jnp.zeros((), rdt)
         return LanczosState(
             V=V,
-            alpha=state.alpha.at[k].set(alpha_k),
-            beta=state.beta.at[k].set(jnp.where(broke, jnp.zeros((), rdt), beta_k)),
-            k=k + 1,
+            alpha=state.alpha.at[k].set(jnp.where(failed_now, zero, alpha_k)),
+            beta=state.beta.at[k].set(jnp.where(ok, beta_k, zero)),
+            k=k + jnp.where(failed_now, 0, 1).astype(k.dtype),
             breakdown=state.breakdown | broke,
+            failed=state.failed | failed_now,
         )
 
     def body(_, state):
-        active = jnp.logical_not(state.breakdown) & (state.k < m)
+        active = (
+            jnp.logical_not(state.breakdown)
+            & jnp.logical_not(state.failed)
+            & (state.k < m)
+        )
         return lax.cond(active, step, lambda s: s, state)
 
     return lax.fori_loop(0, num_steps, body, state)
@@ -538,6 +572,7 @@ class LanczosEigenSolver:
                 beta=jnp.concatenate([s.beta, jnp.zeros((pad,), s.beta.dtype)]),
                 k=s.k,
                 breakdown=s.breakdown,
+                failed=s.failed,
             )
         self.trace.log(Severity.INFO, "continueToCompute: resuming")
         return self._main_loop()
@@ -579,6 +614,23 @@ class LanczosEigenSolver:
             self.trace.record(k, cur_tracked, resid, time.perf_counter() - t0)
 
             # -- termination checks, in the reference's order (:744-768) --
+            if bool(self.state.failed):
+                # NaN/Inf detected in the recurrence (cf. the reference's
+                # failure-first exits, lanczos.hpp:316-347) — stop cleanly
+                # with only the finite pre-failure steps retained
+                termination = "numerical_failure"
+                converged = False
+                self.trace.log(
+                    Severity.ERROR,
+                    f"numerical failure at k={k}: non-finite alpha/beta "
+                    "(operator overflow or NaN) — check operator scaling/dtype",
+                )
+                if k == 0:
+                    raise LanczosError(
+                        "numerical failure on the first Lanczos step: the "
+                        "operator produced non-finite values (overflow/NaN)"
+                    )
+                break
             if bool(self.state.breakdown):
                 termination = "breakdown"
                 self.trace.log(

@@ -120,6 +120,17 @@ class ThickRestartLanczosEigenSolver:
             state = self._run_arnoldi_chunk(op, state, m - k0, bd)
             k = int(state.k)
             total_iters += k - k0
+            if bool(state.failed):
+                termination = "numerical_failure"
+                converged = False
+                self.trace.log(
+                    Severity.ERROR,
+                    f"numerical failure at {total_iters} total iterations: "
+                    "non-finite projection (operator overflow or NaN)",
+                )
+                if k == 0:
+                    raise LanczosError("numerical failure on the first Lanczos step")
+                break
             Hk = np.asarray(state.H[:k, :k], np.float64 if not jnp.iscomplexobj(state.H) else np.complex128)
             Hk = (Hk + Hk.conj().T) / 2  # restore Hermiticity of the projection
             theta, Y = np.linalg.eigh(Hk)
@@ -168,6 +179,7 @@ class ThickRestartLanczosEigenSolver:
                 k=jnp.asarray(pk, jnp.int32),
                 breakdown=jnp.zeros((), jnp.bool_),
                 residue=state.residue,
+                failed=jnp.zeros((), jnp.bool_),
             )
 
         # ---- extraction ----

@@ -36,6 +36,11 @@ def state_from_dict(cls, d: dict):
 
     fields = {f.name for f in dataclasses.fields(cls)}
     missing = fields - set(d)
+    if missing == {"failed"}:
+        # checkpoints written before the NaN/Inf failure flag existed
+        d = dict(d)
+        d["failed"] = np.zeros((), np.bool_)
+        missing = set()
     if missing:
         raise EigenexError(f"checkpoint missing fields {sorted(missing)} for {cls.__name__}")
     return cls(**{k: jnp.asarray(v) for k, v in d.items() if k in fields})
