@@ -47,11 +47,17 @@ from .solvers.krylov_schur import KrylovSchurArnoldiSolver, KrylovSchurOptions
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
 from .solvers.cg import cg_solve, shift_invert_operator
 from .solvers.block_lanczos import BlockLanczosEigenSolver, BlockLanczosOptions
-from .solvers.refine import inverse_iteration_refine, rayleigh_refine
+from .solvers.refine import (
+    general_inverse_iteration_refine,
+    general_rayleigh_refine,
+    inverse_iteration_refine,
+    rayleigh_refine,
+)
 from .solvers.restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
 from .sparse.realify import (
     complex_from_real,
     dedup_doubled_eigenvalues,
+    eigs_realified,
     real_from_complex,
     realify_coo,
 )

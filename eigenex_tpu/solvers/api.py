@@ -5,19 +5,29 @@ statement — the "a user of the reference should find everything they
 need" surface for people arriving from scipy/ARPACK:
 
 - :func:`eigsh` — Hermitian: ``which`` in {"SA", "LA"} (smallest/largest
-  algebraic), optional ``sigma`` (shift-invert targeting via CG).
-  Chooses plain Lanczos when the subspace covers the problem,
-  thick-restart otherwise.
+  algebraic), optional ``sigma`` (shift-invert targeting via
+  residual-controlled GMRES).  Chooses plain Lanczos when the subspace
+  covers the problem, thick-restart otherwise; with ``mesh=`` the
+  iteration runs row-partitioned over the device mesh
+  (:class:`~eigenex_tpu.parallel.distributed.DistributedThickRestartLanczosEigenSolver`).
 - :func:`eigs` — general: dominant (largest-|λ|) eigenpairs via
   Krylov–Schur; optional ``sigma`` (GMRES shift-invert for interior
-  targets).
+  targets), optional ``mesh=`` (distributed Krylov–Schur).
+
+Both accept dense matrices, ``LinearOperator``s, or the sparse
+containers (:class:`~eigenex_tpu.sparse.coo.COOMatrix`,
+:class:`~eigenex_tpu.sparse.bsr.BSRMatrix`) directly.  With a COOMatrix
+operand, ``refine=True`` polishes the returned pairs on host float64
+(shifted inverse iteration — the hybrid-precision path that recovers
+the reference's f64-exact extraction, lanczos.hpp:779-817 /
+arnoldi.hpp:805-865, from a low-precision device iteration).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..core.operators import aslinearoperator
+from ..core.operators import LinearOperator, aslinearoperator
 from ..utils.exceptions import EigenexError
 from .gmres import shift_invert_operator_general
 from .krylov_schur import KrylovSchurArnoldiSolver, KrylovSchurOptions
@@ -25,6 +35,44 @@ from .lanczos import LanczosEigenSolver, LanczosOptions, LanczosResult
 from .restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
 
 __all__ = ["eigsh", "eigs"]
+
+
+def _resolve_operand(A):
+    """(operator, coo_or_None, bsr_or_None) from any accepted operand."""
+    from ..sparse.bsr import BSRMatrix
+    from ..sparse.coo import COOMatrix
+
+    if isinstance(A, COOMatrix):
+        return A.as_linear_operator(), A, None
+    if isinstance(A, BSRMatrix):
+        return A.as_linear_operator(), None, A
+    if isinstance(A, LinearOperator):
+        return A, None, None
+    return aslinearoperator(A), None, None
+
+
+def _to_bsr_for_mesh(A, coo, bsr, block_shape):
+    """Coerce the operand to a BSRMatrix for the distributed drivers."""
+    import jax
+
+    from ..sparse.bsr import bsr_from_coo_arrays
+
+    if bsr is not None:
+        return bsr
+    if coo is not None:
+        if block_shape is None:
+            block_shape = (8, 128) if jax.default_backend() == "tpu" else (4, 4)
+        return bsr_from_coo_arrays(
+            np.asarray(coo.row),
+            np.asarray(coo.col),
+            np.asarray(coo.val),
+            coo.shape,
+            block_shape,
+        )
+    raise EigenexError(
+        "mesh= requires a sparse operand (COOMatrix or BSRMatrix) so the "
+        "operator's rows can be partitioned over the device mesh"
+    )
 
 
 def eigsh(
@@ -37,26 +85,71 @@ def eigsh(
     max_subspace: int | None = None,
     max_restarts: int = 200,
     seed: int = 0,
+    inner_tol: float | None = None,
+    mesh=None,
+    matvec_mode: str = "allgather",
+    block_shape: tuple[int, int] | None = None,
+    refine: bool | int = False,
 ) -> LanczosResult:
     """k extremal (or σ-targeted) eigenpairs of a Hermitian operator.
 
     which: "SA" (smallest algebraic) or "LA" (largest algebraic);
     ignored when ``sigma`` is given (returns the pairs nearest σ).
+    inner_tol: relative-residual target of the GMRES inner solve backing
+    ``sigma`` targeting — the outer eigenvalue error tracks this knob
+    (default: 1e-2 of the outer tolerance).
+    mesh: a ``jax.sharding.Mesh`` routes the iteration to the
+    distributed thick-restart driver (sparse operands only).
+    refine: with a COOMatrix operand, polish the pairs on host f64.
     """
-    op = aslinearoperator(A)
+    op, coo, bsr = _resolve_operand(A)
     n = op.shape[0]
     if op.shape[0] != op.shape[1]:
         raise EigenexError("eigsh requires a square operator")
     if which not in ("SA", "LA"):
         raise EigenexError(f"which must be 'SA' or 'LA', got {which!r}")
 
+    if mesh is not None:
+        if sigma is not None:
+            raise EigenexError(
+                "sigma with mesh= is not routed here — use "
+                "parallel.distributed.distributed_lanczos_steps("
+                "shift_invert_sigma=...) for the distributed shift-invert "
+                "pipeline"
+            )
+        from ..parallel.distributed import DistributedThickRestartLanczosEigenSolver
+
+        bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
+        indices = tuple(range(k)) if which == "SA" else tuple(range(-k, 0))
+        m = min(max_subspace or max(6 * k + 32, 64), n)
+        axis_name = mesh.axis_names[0]
+        res = DistributedThickRestartLanczosEigenSolver(
+            bsr_op,
+            mesh,
+            ThickRestartOptions(
+                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_subspace=m, max_restarts=max_restarts, seed=seed,
+            ),
+            axis_name=axis_name,
+            matvec_mode=matvec_mode,
+        ).compute()
+        return _maybe_refine_hermitian(res, coo, refine)
+
     if sigma is not None:
         # Shift-invert: pairs nearest σ have the LARGEST |θ| of
         # (A − σI)⁻¹ — θ can be large positive (λ just above σ) or large
         # negative (λ just below σ), so track BOTH spectral ends and pick
         # by |θ|.  The inner solve is GMRES, which tolerates the
-        # indefinite (A − σI) that any interior σ produces (CG does not).
-        si = shift_invert_operator_general(op, sigma, restart=64, cycles=6)
+        # indefinite (A − σI) that any interior σ produces (CG does not);
+        # its residual-controlled cycles stop at ``inner_tol``.
+        if inner_tol is None:
+            from ..utils.tolerance import default_tolerance
+
+            outer = tol if tol is not None else default_tolerance(op.dtype)
+            inner_tol = max(outer * 1e-2, 1e-14)
+        si = shift_invert_operator_general(
+            op, sigma, restart=64, cycles=40, tol=inner_tol
+        )
         m = min(max_subspace or max(4 * k + 16, 32), n)
         kk = min(k, m // 2 - 1) if m // 2 - 1 > 0 else k
         both_ends = tuple(range(kk)) + tuple(range(-kk, 0))
@@ -76,7 +169,7 @@ def eigsh(
         pick = np.argsort(np.abs(lam_all - float(np.real(sigma))))[:k]
         order = pick[np.argsort(lam_all[pick])]
         vecs = res.eigenvectors[:, order] if res.eigenvectors is not None else None
-        return LanczosResult(
+        res = LanczosResult(
             eigenvalues=lam_all[order],
             eigenvectors=vecs,
             iterations=res.iterations,
@@ -84,25 +177,52 @@ def eigsh(
             termination=res.termination,
             trace=res.trace,
         )
+        return _maybe_refine_hermitian(res, coo, refine)
 
     indices = tuple(range(k)) if which == "SA" else tuple(range(-k, 0))
     m = min(max_subspace or max(6 * k + 32, 64), n)
     if m >= n:
         # full subspace available: plain Lanczos terminates exactly
-        return LanczosEigenSolver(
+        res = LanczosEigenSolver(
             op,
             LanczosOptions(
                 max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
                 max_subspace=n, seed=seed,
             ),
         ).compute()
-    return ThickRestartLanczosEigenSolver(
-        op,
-        ThickRestartOptions(
-            max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
-            max_subspace=m, max_restarts=max_restarts, seed=seed,
-        ),
-    ).compute()
+    else:
+        res = ThickRestartLanczosEigenSolver(
+            op,
+            ThickRestartOptions(
+                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_subspace=m, max_restarts=max_restarts, seed=seed,
+            ),
+        ).compute()
+    return _maybe_refine_hermitian(res, coo, refine)
+
+
+def _maybe_refine_hermitian(res: LanczosResult, coo, refine) -> LanczosResult:
+    if not refine:
+        return res
+    if coo is None:
+        raise EigenexError("refine=True requires a COOMatrix operand")
+    if res.eigenvectors is None:
+        raise EigenexError("refine=True requires computed eigenvectors")
+    from .refine import inverse_iteration_refine
+
+    iters = int(refine) if not isinstance(refine, bool) else 2
+    lam, X, _ = inverse_iteration_refine(
+        coo, np.asarray(res.eigenvectors), res.eigenvalues, iters=iters
+    )
+    order = np.argsort(lam)
+    return LanczosResult(
+        eigenvalues=lam[order],
+        eigenvectors=X[:, order],
+        iterations=res.iterations,
+        converged=res.converged,
+        termination=res.termination,
+        trace=res.trace,
+    )
 
 
 def eigs(
@@ -114,15 +234,52 @@ def eigs(
     max_subspace: int | None = None,
     max_restarts: int = 100,
     seed: int = 0,
+    inner_tol: float | None = None,
+    mesh=None,
+    matvec_mode: str = "allgather",
+    block_shape: tuple[int, int] | None = None,
+    refine: bool | int = False,
 ):
-    """k dominant (or σ-nearest) eigenpairs of a general operator."""
-    op = aslinearoperator(A)
+    """k dominant (or σ-nearest) eigenpairs of a general operator.
+
+    mesh: a ``jax.sharding.Mesh`` routes the iteration to the
+    distributed Krylov–Schur driver (sparse operands only).
+    inner_tol: GMRES target for ``sigma`` shift-invert (default: 1e-2 of
+    the outer tolerance).  refine: with a COOMatrix operand, polish the
+    returned pairs with f64 complex inverse iteration
+    (:func:`~eigenex_tpu.solvers.refine.general_inverse_iteration_refine`).
+    """
+    op, coo, bsr = _resolve_operand(A)
     n = op.shape[0]
     if op.shape[0] != op.shape[1]:
         raise EigenexError("eigs requires a square operator")
     m = min(max_subspace or max(4 * k + 24, 48), n)
+
+    if mesh is not None:
+        if sigma is not None:
+            raise EigenexError("sigma with mesh= is not supported yet")
+        from ..parallel.distributed import DistributedKrylovSchurArnoldiSolver
+
+        bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
+        res = DistributedKrylovSchurArnoldiSolver(
+            bsr_op,
+            mesh,
+            KrylovSchurOptions(
+                max_eigenvalues=k, tolerance=tol, max_subspace=m,
+                max_restarts=max_restarts, seed=seed,
+            ),
+            axis_name=mesh.axis_names[0],
+            matvec_mode=matvec_mode,
+        ).compute()
+        return _maybe_refine_general(res, coo, refine)
+
     if sigma is not None:
-        si = shift_invert_operator_general(op, sigma)
+        if inner_tol is None:
+            from ..utils.tolerance import default_tolerance
+
+            outer = tol if tol is not None else default_tolerance(op.dtype)
+            inner_tol = max(outer * 1e-2, 1e-14)
+        si = shift_invert_operator_general(op, sigma, tol=inner_tol)
         res = KrylovSchurArnoldiSolver(
             si,
             KrylovSchurOptions(
@@ -135,11 +292,31 @@ def eigs(
         res.eigenvalues = lam[order]
         if res.eigenvectors is not None:
             res.eigenvectors = res.eigenvectors[:, order]
-        return res
-    return KrylovSchurArnoldiSolver(
+        return _maybe_refine_general(res, coo, refine)
+    res = KrylovSchurArnoldiSolver(
         op,
         KrylovSchurOptions(
             max_eigenvalues=k, tolerance=tol, max_subspace=m,
             max_restarts=max_restarts, seed=seed,
         ),
     ).compute()
+    return _maybe_refine_general(res, coo, refine)
+
+
+def _maybe_refine_general(res, coo, refine):
+    if not refine:
+        return res
+    if coo is None:
+        raise EigenexError("refine=True requires a COOMatrix operand")
+    if res.eigenvectors is None:
+        raise EigenexError("refine=True requires computed eigenvectors")
+    from .refine import general_inverse_iteration_refine
+
+    iters = int(refine) if not isinstance(refine, bool) else 3
+    lam, X, _ = general_inverse_iteration_refine(
+        coo, np.asarray(res.eigenvectors), np.asarray(res.eigenvalues), iters=iters
+    )
+    order = np.argsort(-np.abs(lam), kind="stable")
+    res.eigenvalues = lam[order]
+    res.eigenvectors = X[:, order]
+    return res

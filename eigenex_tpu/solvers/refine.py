@@ -27,7 +27,12 @@ import numpy as np
 from ..sparse.coo import COOMatrix
 from ..utils.exceptions import EigenexError
 
-__all__ = ["rayleigh_refine", "inverse_iteration_refine"]
+__all__ = [
+    "rayleigh_refine",
+    "inverse_iteration_refine",
+    "general_rayleigh_refine",
+    "general_inverse_iteration_refine",
+]
 
 
 def _coo_scipy64(coo: COOMatrix):
@@ -88,4 +93,66 @@ def inverse_iteration_refine(coo: COOMatrix, X, evals=None, iters: int = 2):
         out[:, p] = x
         lam[p] = mu
     _, res = rayleigh_refine(coo, out)
+    return lam, out, res
+
+
+def general_rayleigh_refine(coo: COOMatrix, X, evals=None):
+    """c128 Rayleigh quotients λ = ⟨x, A x⟩ for general (non-Hermitian)
+    approximate eigenvectors.
+
+    Returns (refined_evals (p,) complex128, residual_norms (p,) f64)."""
+    A = _coo_scipy64(coo).astype(np.complex128)
+    X = np.asarray(X, np.complex128)
+    X = X / np.linalg.norm(X, axis=0, keepdims=True)
+    AX = A @ X
+    lam = np.einsum("ip,ip->p", X.conj(), AX)
+    R = AX - X * lam[None, :]
+    return lam, np.linalg.norm(R, axis=0).astype(np.float64)
+
+
+def general_inverse_iteration_refine(coo: COOMatrix, X, evals=None, iters: int = 3):
+    """f64/c128 shifted-inverse-iteration polish for NON-Hermitian
+    eigenpairs — the hybrid-precision bridge for Arnoldi/Krylov–Schur
+    output (the reference's Arnoldi extraction is exact-arithmetic f64
+    end-to-end, arnoldi.hpp:805-865; this recovers that accuracy from an
+    f32-device iteration).
+
+    X: (n, p) approximate eigenvectors (complex allowed over a real
+    operator — conjugate-pair eigenvalues welcome); evals: (p,) complex
+    shift estimates (None → Rayleigh quotients of X).  Each pair solves
+    (A − μI) x' = x with sparse complex LU and updates μ = ⟨x, A x⟩ —
+    quadratic convergence to simple eigenpairs, so ``iters=3`` takes an
+    f32-grade pair to f64 machine residual.
+
+    Returns (evals (p,) complex128, X (n, p) complex128, residuals f64)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    A = _coo_scipy64(coo).astype(np.complex128)
+    n = A.shape[0]
+    X = np.asarray(X, np.complex128)
+    X = X / np.linalg.norm(X, axis=0, keepdims=True)
+    if evals is None:
+        lam, _ = general_rayleigh_refine(coo, X)
+    else:
+        lam = np.asarray(evals, np.complex128).copy()
+    out = np.empty_like(X)
+    for p in range(X.shape[1]):
+        x = X[:, p]
+        mu = complex(lam[p])
+        for _ in range(iters):
+            reg = 1e-14 * max(1.0, abs(mu))
+            M = (A - (mu + reg) * sp.identity(n, dtype=A.dtype)).tocsc()
+            try:
+                x = spla.splu(M).solve(x)
+            except RuntimeError as e:  # singular factorization
+                raise EigenexError(f"inverse iteration failed at pair {p}: {e}")
+            x = x / np.linalg.norm(x)
+            mu = complex(np.vdot(x, A @ x))
+        # phase fix: largest coefficient made real-positive (deterministic)
+        lead = x[np.argmax(np.abs(x))]
+        x = x * (np.conj(lead) / abs(lead))
+        out[:, p] = x
+        lam[p] = mu
+    _, res = general_rayleigh_refine(coo, out)
     return lam, out, res

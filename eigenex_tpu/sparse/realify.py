@@ -16,6 +16,15 @@ doubled: each complex eigenpair (λ, v) yields the orthogonal real pair
 through the entirely-real TPU Lanczos path; callers deduplicate the
 doubled Ritz values (:func:`dedup_doubled_eigenvalues`) and reassemble
 complex vectors (:func:`complex_from_real`).
+
+For GENERAL (non-Hermitian) complex H the same embedding works — its
+spectrum is {λ_j} ∪ {conj λ_j}: the complex eigenvector of the embedding
+for a genuine eigenvalue λ of H is [z; −iz] (check: R[z;−iz] =
+[Az+iBz; Bz−iAz] = λ[z;−iz]), while conj λ carries the mirror vector
+[z̄; i z̄].  :func:`eigs_realified` runs the real Krylov–Schur solver on
+the embedding and reconstructs/deduplicates H's eigenpairs — the
+complex-free-TPU path for the reference's fully complex-templated
+Arnoldi (arnoldi.hpp:472-501, sample_lanczos2.cpp:13).
 """
 
 from __future__ import annotations
@@ -34,6 +43,7 @@ __all__ = [
     "real_from_complex",
     "complex_from_real",
     "dedup_doubled_eigenvalues",
+    "eigs_realified",
 ]
 
 
@@ -87,6 +97,100 @@ def complex_from_real(x) -> np.ndarray:
         raise EigenexError("realified vector length must be even")
     n = x.shape[-1] // 2
     return x[..., :n] + 1j * x[..., n:]
+
+
+def eigs_realified(
+    coo: COOMatrix,
+    k: int = 6,
+    *,
+    tol: float | None = None,
+    max_subspace: int | None = None,
+    max_restarts: int = 100,
+    seed: int = 0,
+    refine: bool | int = False,
+):
+    """k dominant eigenpairs of a GENERAL complex operator using only
+    real device arithmetic.
+
+    Runs Krylov–Schur on the real embedding [[A,−B],[B,A]] (spectrum
+    {λ} ∪ {conj λ}), then reconstructs H's pairs: for each real-side Ritz
+    pair (θ, q), z = q_top + i·q_bot is 2c·z for a genuine pair and ≈ 0
+    for a mirror pair (whose H-pair is recovered by conjugating), so the
+    reconstruction norm itself separates the doubled spectrum.
+    Remaining duplicates (real eigenvalues; conjugate-paired spectra)
+    dedup by eigenvalue closeness + vector overlap, keeping the smaller
+    residual.
+
+    ``refine``: truthy → polish the reconstructed pairs with
+    :func:`eigenex_tpu.solvers.refine.general_inverse_iteration_refine`
+    (an int sets the iteration count).
+
+    Returns (evals (≤k,) complex128 |λ|-descending, X (n, ≤k) complex128
+    columns, residuals (≤k,) f64)."""
+    from ..solvers.api import eigs
+
+    if not jnp.issubdtype(coo.dtype, jnp.complexfloating):
+        raise EigenexError("eigs_realified expects a complex operator; use eigs")
+    n = coo.shape[0]
+    R = realify_coo(coo)
+    res = eigs(
+        R.as_linear_operator(),
+        k=min(2 * k, 2 * n - 2),
+        tol=tol,
+        max_subspace=max_subspace,
+        max_restarts=max_restarts,
+        seed=seed,
+    )
+    evals = np.asarray(res.eigenvalues, np.complex128)
+    X = np.asarray(res.eigenvectors, np.complex128)  # (2n, p), unit columns
+
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(
+        (np.asarray(coo.val, np.complex128), (np.asarray(coo.row), np.asarray(coo.col))),
+        shape=coo.shape,
+    )
+    cands = []
+    for j in range(X.shape[1]):
+        q = X[:, j]
+        for lam, z in (
+            (evals[j], q[:n] + 1j * q[n:]),
+            (np.conj(evals[j]), np.conj(q[:n]) + 1j * np.conj(q[n:])),
+        ):
+            nz = np.linalg.norm(z)
+            # a genuine pair reconstructs with norm √2 (unit q); a mirror
+            # pair with ~0 — 0.3 splits them with wide margin
+            if nz < 0.3:
+                continue
+            z = z / nz
+            r = float(np.linalg.norm(A @ z - lam * z))
+            cands.append((complex(lam), z, r))
+    # best-residual first so dedup keeps the cleanest representative
+    cands.sort(key=lambda t: t[2])
+    scale = max((abs(c[0]) for c in cands), default=1.0)
+    close = max(tol if tol is not None else 0.0, 1e-6) * max(scale, 1.0)
+    kept: list[tuple] = []
+    for lam, z, r in cands:
+        dup = any(
+            abs(lam - lk) <= close and abs(np.vdot(zk, z)) > 0.9 for lk, zk, _ in kept
+        )
+        if not dup:
+            kept.append((lam, z, r))
+    kept.sort(key=lambda t: -abs(t[0]))
+    kept = kept[:k]
+    lam_out = np.array([t[0] for t in kept], np.complex128)
+    X_out = np.stack([t[1] for t in kept], axis=1) if kept else np.zeros((n, 0), np.complex128)
+    res_out = np.array([t[2] for t in kept], np.float64)
+    if refine and kept:
+        from ..solvers.refine import general_inverse_iteration_refine
+
+        iters = int(refine) if not isinstance(refine, bool) else 3
+        lam_out, X_out, res_out = general_inverse_iteration_refine(
+            coo, X_out, lam_out, iters=iters
+        )
+        order = np.argsort(-np.abs(lam_out), kind="stable")
+        lam_out, X_out, res_out = lam_out[order], X_out[:, order], res_out[order]
+    return lam_out, X_out, res_out
 
 
 def dedup_doubled_eigenvalues(evals: np.ndarray, tol: float | None = None) -> np.ndarray:

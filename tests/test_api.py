@@ -72,3 +72,105 @@ def test_eigsh_sigma_nearest_below(key):
     res = eigsh(A, k=3, sigma=sigma, tol=1e-10, max_subspace=40)
     near = np.sort(ref[np.argsort(np.abs(ref - sigma))[:3]])
     np.testing.assert_allclose(np.sort(res.eigenvalues), near, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 surface: sparse operands, mesh routing, refine, inner_tol
+# ---------------------------------------------------------------------------
+def _laplacian_coo(n):
+    from eigenex_tpu.sparse.coo import coo_from_dense
+
+    A = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    return coo_from_dense(A), A
+
+
+def test_eigsh_accepts_coo_and_bsr():
+    from eigenex_tpu.sparse.bsr import bsr_from_dense
+
+    coo, A = _laplacian_coo(64)
+    exact = [2 - 2 * np.cos((j + 1) * np.pi / 65) for j in range(2)]
+    r1 = eigsh(coo, k=2, which="SA", tol=1e-12)
+    np.testing.assert_allclose(r1.eigenvalues, exact, atol=1e-9)
+    r2 = eigsh(bsr_from_dense(A, (4, 4)), k=2, which="SA", tol=1e-12)
+    np.testing.assert_allclose(r2.eigenvalues, exact, atol=1e-9)
+
+
+def test_eigsh_mesh_routes_distributed():
+    import jax
+    from jax.sharding import Mesh
+
+    coo, A = _laplacian_coo(128)
+    mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+    res = eigsh(coo, k=2, which="SA", tol=1e-13, mesh=mesh, max_subspace=48,
+                max_restarts=300, block_shape=(4, 4))
+    exact = [2 - 2 * np.cos((j + 1) * np.pi / 129) for j in range(2)]
+    np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-9)
+
+
+def test_eigs_mesh_routes_distributed(key):
+    import jax
+    from jax.sharding import Mesh
+    from eigenex_tpu.sparse.coo import coo_from_dense
+
+    rng = np.random.default_rng(1)
+    A = np.diag(np.arange(1.0, 65.0)) + 0.05 * rng.standard_normal((64, 64))
+    mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+    res = eigs(coo_from_dense(A), k=2, tol=1e-12, mesh=mesh, max_subspace=40,
+               block_shape=(4, 4))
+    true = np.linalg.eigvals(A)
+    true = true[np.argsort(-np.abs(true))][:2]
+    np.testing.assert_allclose(
+        np.sort_complex(np.asarray(res.eigenvalues)), np.sort_complex(true), atol=1e-7
+    )
+
+
+def test_eigsh_refine_hits_1e10():
+    coo, A = _laplacian_coo(100)
+    res = eigsh(coo, k=2, which="SA", tol=1e-6, refine=True)
+    exact = [2 - 2 * np.cos((j + 1) * np.pi / 101) for j in range(2)]
+    np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-12)
+
+
+def test_eigs_refine_hits_1e10():
+    from eigenex_tpu.sparse.coo import coo_from_dense
+
+    rng = np.random.default_rng(2)
+    A = np.diag(np.arange(1.0, 51.0)) + 0.1 * rng.standard_normal((50, 50))
+    res = eigs(coo_from_dense(A), k=2, tol=1e-8, refine=True)
+    true = np.linalg.eigvals(A)
+    true = true[np.argsort(-np.abs(true))][:2]
+    np.testing.assert_allclose(
+        np.sort_complex(np.asarray(res.eigenvalues)), np.sort_complex(true), atol=1e-11
+    )
+
+
+def test_inner_tol_controls_outer_accuracy():
+    """VERDICT item 5's acceptance: a loose inner GMRES tolerance visibly
+    degrades sigma-targeted eigenvalues; a tight one reaches 1e-10.
+
+    n=300 > restart=64 so the inner solve genuinely iterates (a full
+    single-cycle Krylov solve would be exact regardless of tol); sigma
+    sits below the spectrum so restarted GMRES converges (interior sigma
+    makes (A - sigma*I) indefinite, where GMRES(m) can stagnate for any
+    tol — that failure is reported honestly, not silently)."""
+    n = 300
+    A = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    target = 2 - 2 * np.cos(np.pi / (n + 1))
+    sigma = -1e-3  # close below the spectrum: well-separated thetas
+    Aj = jnp.asarray(A)
+    loose = eigsh(Aj, k=1, sigma=sigma, tol=1e-12, max_subspace=30, inner_tol=1e-2)
+    tight = eigsh(Aj, k=1, sigma=sigma, tol=1e-12, max_subspace=30, inner_tol=1e-13)
+    err_loose = abs(loose.eigenvalues[0] - target)
+    err_tight = abs(tight.eigenvalues[0] - target)
+    assert err_tight <= 1e-10
+    assert err_loose > 10 * err_tight
+
+
+def test_mesh_requires_sparse_operand(key):
+    import jax
+    from jax.sharding import Mesh
+
+    A = random_hermitian(key, 32, jnp.float64)
+    mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+    with pytest.raises(EigenexError):
+        eigsh(A, k=1, mesh=mesh)

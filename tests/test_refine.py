@@ -47,3 +47,55 @@ def test_inverse_iteration_full_precision():
     # vectors are true f64 eigenvectors now
     d = np.asarray(coo.to_dense())
     np.testing.assert_allclose(d @ X, X * lam[None, :], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# General (non-Hermitian) f64 refinement — the polish that recovers the
+# reference's f64-exact Arnoldi extraction (arnoldi.hpp:805-865) from a
+# low-precision device iteration (VERDICT round-1 item 2)
+# ---------------------------------------------------------------------------
+class TestGeneralRefine:
+    def _problem(self, n=50, seed=5):
+        rng = np.random.default_rng(seed)
+        A = np.diag(np.arange(1.0, n + 1.0)) + 0.1 * rng.standard_normal((n, n))
+        return coo_from_dense(A), A
+
+    def test_polishes_f32_grade_pairs_to_f64(self):
+        from eigenex_tpu.solvers.refine import general_inverse_iteration_refine
+
+        coo, A = self._problem()
+        true_ev, true_X = np.linalg.eig(A)
+        order = np.argsort(-np.abs(true_ev))[:4]
+        rng = np.random.default_rng(0)
+        # f32-grade input: perturb the exact pairs at the 1e-5 level
+        X0 = true_X[:, order] + 1e-5 * (
+            rng.standard_normal((50, 4)) + 1j * rng.standard_normal((50, 4))
+        )
+        lam0 = true_ev[order] + 1e-5
+        lam, X, res = general_inverse_iteration_refine(coo, X0, lam0, iters=3)
+        np.testing.assert_allclose(lam, true_ev[order], atol=1e-11)
+        assert np.all(res <= 1e-11 * np.max(np.abs(lam)))
+
+    def test_complex_conjugate_pair(self):
+        from eigenex_tpu.solvers.refine import general_inverse_iteration_refine
+
+        # real matrix with a genuine complex pair
+        A = np.array([[0.0, -2.0], [2.0, 0.0]])
+        A = np.block([[A, np.zeros((2, 3))], [np.zeros((3, 2)), np.diag([1.0, 2.0, 3.0])]])
+        coo = coo_from_dense(A)
+        lam, X, res = general_inverse_iteration_refine(
+            coo,
+            np.array([[1.0, 1.0], [1j, -1j], [0, 0], [0, 0], [0, 0]], np.complex128),
+            np.array([2.1j, -2.1j]),
+            iters=3,
+        )
+        np.testing.assert_allclose(np.sort_complex(lam), [-2j, 2j], atol=1e-12)
+
+    def test_rayleigh_general(self):
+        from eigenex_tpu.solvers.refine import general_rayleigh_refine
+
+        coo, A = self._problem(30)
+        ev, X = np.linalg.eig(A)
+        lam, res = general_rayleigh_refine(coo, X[:, :3])
+        np.testing.assert_allclose(lam, ev[:3], atol=1e-10)
+        assert np.all(res <= 1e-10)
