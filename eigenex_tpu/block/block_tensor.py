@@ -37,13 +37,30 @@ from ..core.indices import AddIndices
 from ..ops.einsum import build_subscripts, einsum_labels
 from ..utils.exceptions import BlockTensorError
 
-__all__ = ["BlockTensor", "block_tensor_norm", "block_tensor_squared_norm"]
+__all__ = [
+    "BlockTensor",
+    "block_tensor_norm",
+    "block_tensor_squared_norm",
+    "is_sparse_block",
+]
 
 
 def _as_structure(s) -> AddIndices:
     if isinstance(s, AddIndices):
         return s
     return AddIndices(s)
+
+
+def is_sparse_block(blk) -> bool:
+    """True when a stored block is a sparse container (COO/BSR) rather
+    than a dense array — the TPU-first scaling upgrade over the
+    reference's always-dense ``Eigen::Tensor`` blocks
+    (block_tensor.hpp:1204-1206): symmetry-sector Hamiltonians keep each
+    sector sparse and apply it through the container's matvec."""
+    from ..sparse.bsr import BSRMatrix
+    from ..sparse.coo import COOMatrix
+
+    return isinstance(blk, (COOMatrix, BSRMatrix))
 
 
 class BlockTensor:
@@ -110,6 +127,7 @@ class BlockTensor:
     def get_element(self, multi: Sequence[int]):
         """Value at a global multi-index; zero if the block is absent
         (cf. getElement :1274-1301)."""
+        self._require_dense("get_element")
         key = tuple(s.first(i) for s, i in zip(self.structures, multi))
         intra = tuple(s.second(i) for s, i in zip(self.structures, multi))
         blk = self.blocks.get(key)
@@ -120,6 +138,7 @@ class BlockTensor:
     def set_element(self, multi: Sequence[int], value) -> "BlockTensor":
         """Set one element, creating its block on demand
         (cf. setElement :1568-1611, creation :1574-1581).  Mutates self."""
+        self._require_dense("set_element")
         key = tuple(s.first(i) for s, i in zip(self.structures, multi))
         intra = tuple(s.second(i) for s, i in zip(self.structures, multi))
         blk = self.blocks.get(key)
@@ -129,6 +148,7 @@ class BlockTensor:
         return self
 
     def add_element(self, multi: Sequence[int], value) -> "BlockTensor":
+        self._require_dense("add_element")
         key = tuple(s.first(i) for s, i in zip(self.structures, multi))
         intra = tuple(s.second(i) for s, i in zip(self.structures, multi))
         blk = self.blocks.get(key)
@@ -137,12 +157,38 @@ class BlockTensor:
         self.blocks[key] = blk.at[intra].add(jnp.asarray(value, self.dtype))
         return self
 
+    @property
+    def has_sparse_blocks(self) -> bool:
+        return any(is_sparse_block(b) for b in self.blocks.values())
+
+    def _require_dense(self, what: str):
+        if self.has_sparse_blocks:
+            raise BlockTensorError(
+                f"{what} requires dense blocks; this tensor stores sparse "
+                "(COO/BSR) containers — apply it through block_operator, "
+                "or densify the blocks first"
+            )
+
     # -- block mutators (block_tensor.hpp:1510-1640) ---------------------
     def set_block(self, key: tuple, arr) -> "BlockTensor":
-        """cf. setBlock :1614-1630 (shape-checked)."""
+        """cf. setBlock :1614-1630 (shape-checked).
+
+        Rank-2 tensors also accept sparse containers (COOMatrix /
+        BSRMatrix) as blocks; BSR blocks may be zero-padded up from the
+        sector dims (the padding rows/cols are structurally zero and
+        block_operator slices them away)."""
         key = self._norm_key(key)
-        arr = jnp.asarray(arr, self.dtype)
         exp = self.intra_block_dims(key)
+        if is_sparse_block(arr):
+            if self.ndim != 2:
+                raise BlockTensorError("sparse blocks require a rank-2 tensor")
+            if any(s < e for s, e in zip(arr.shape, exp)):
+                raise BlockTensorError(
+                    f"sparse block {key} covers {tuple(arr.shape)} < expected {exp}"
+                )
+            self.blocks[key] = arr
+            return self
+        arr = jnp.asarray(arr, self.dtype)
         if tuple(arr.shape) != exp:
             raise BlockTensorError(f"block {key} expects shape {exp}, got {tuple(arr.shape)}")
         self.blocks[key] = arr
@@ -173,14 +219,18 @@ class BlockTensor:
 
     # -- conversions (block_tensor.hpp:1337-1410,1642-1672) --------------
     def to_dense(self) -> jax.Array:
-        """cf. makeDenseTensor :1337-1360."""
+        """cf. makeDenseTensor :1337-1360.  Sparse blocks densify (their
+        structural padding sliced away)."""
         out = jnp.zeros(self.dims, self.dtype)
         for key, blk in self.blocks.items():
+            exp = self.intra_block_dims(key)
+            if is_sparse_block(blk):
+                blk = jnp.asarray(blk.to_dense())[tuple(slice(0, e) for e in exp)]
             idx = tuple(
                 slice(int(s.offsets[b]), int(s.offsets[b]) + s.block_dims[b])
                 for s, b in zip(self.structures, key)
             )
-            out = out.at[idx].set(blk)
+            out = out.at[idx].set(blk.astype(self.dtype))
         return out
 
     @classmethod
@@ -215,6 +265,7 @@ class BlockTensor:
         """All stored elements as one flat vector
         (cf. makeFiniteElementsVector :1362-1381, implementing the intent
         — the reference forgets its ``return``; SURVEY.md §2)."""
+        self._require_dense("stored_values")
         if not self.blocks:
             return jnp.zeros((0,), self.dtype)
         return jnp.concatenate([b.reshape(-1) for _, b in sorted(self.blocks.items())])
@@ -228,21 +279,29 @@ class BlockTensor:
 
     def cast(self, dtype) -> "BlockTensor":
         """cf. cast :1406-1418."""
+        self._require_dense("cast")
         out = BlockTensor(self.structures, dtype=dtype)
         out.blocks = {k: v.astype(dtype) for k, v in self.blocks.items()}
         return out
 
     def conjugate(self) -> "BlockTensor":
         """cf. conjugateInPlace :1770-1775 (functional here)."""
+        self._require_dense("conjugate")
         return self.with_blocks({k: jnp.conj(v) for k, v in self.blocks.items()})
 
     def scalar_multiple(self, c) -> "BlockTensor":
         """cf. scalarMultiple :1777-1784."""
-        return self.with_blocks({k: v * c for k, v in self.blocks.items()})
+        return self.with_blocks(
+            {
+                k: (v.scalar_multiple(c) if is_sparse_block(v) else v * c)
+                for k, v in self.blocks.items()
+            }
+        )
 
     # -- structure transforms (block_tensor.hpp:1675-1768) ---------------
     def shuffle(self, perm: Sequence[int]) -> "BlockTensor":
         """Permute axes (cf. shuffleInPlace :1675-1696)."""
+        self._require_dense("shuffle")
         perm = tuple(int(p) for p in perm)
         if sorted(perm) != list(range(self.ndim)):
             raise BlockTensorError(f"invalid permutation {perm}")
@@ -254,6 +313,7 @@ class BlockTensor:
     def block_shuffle(self, axis: int, block_perm: Sequence[int]) -> "BlockTensor":
         """Permute the *blocks* along one axis (cf. blockShuffleInPlace
         :1698-1745): new block b comes from old block block_perm[b]."""
+        self._require_dense("block_shuffle")
         s = self.structures[axis]
         block_perm = tuple(int(p) for p in block_perm)
         if sorted(block_perm) != list(range(s.num_blocks)):
@@ -271,17 +331,53 @@ class BlockTensor:
 
     def reblock(self, structures: Sequence[AddIndices | Sequence[int]]) -> "BlockTensor":
         """Re-partition under new per-axis block structures covering the
-        same dims (cf. reblock :1762-1768).  Implemented via the dense
-        round-trip — correct for any re-partition; block tensors in the
-        reference's domain are small per-block, so this is host-side
-        setup cost, not device hot path."""
+        same dims (cf. reblock :1762-1768).
+
+        Block-wise overlap slicing: each stored block is cut along the
+        new per-axis boundaries and its pieces accumulated into the
+        overlapping new blocks — O(stored data) work and memory, never a
+        dense ∏dims round-trip (the round-1 implementation's
+        scalability bug)."""
+        self._require_dense("reblock")
         structures = tuple(_as_structure(s) for s in structures)
         if tuple(s.dim for s in structures) != self.dims:
             raise BlockTensorError("reblock structures must cover identical dims")
-        return BlockTensor.from_dense(np.asarray(self.to_dense()), structures, dtype=self.dtype)
+        out = BlockTensor(structures, dtype=self.dtype)
+        from itertools import product as _product
+
+        def overlaps(old_s: AddIndices, old_b: int, new_s: AddIndices):
+            """(new_block, old_local_slice, new_local_slice) triples for
+            one axis."""
+            o0 = int(old_s.offsets[old_b])
+            o1 = o0 + int(old_s.block_dims[old_b])
+            res = []
+            for nb in range(new_s.num_blocks):
+                n0 = int(new_s.offsets[nb])
+                n1 = n0 + int(new_s.block_dims[nb])
+                lo, hi = max(o0, n0), min(o1, n1)
+                if lo < hi:
+                    res.append((nb, slice(lo - o0, hi - o0), slice(lo - n0, hi - n0)))
+            return res
+
+        for key, blk in self.blocks.items():
+            per_axis = [
+                overlaps(self.structures[ax], key[ax], structures[ax])
+                for ax in range(self.ndim)
+            ]
+            for combo in _product(*per_axis):
+                new_key = tuple(c[0] for c in combo)
+                old_sl = tuple(c[1] for c in combo)
+                new_sl = tuple(c[2] for c in combo)
+                piece = blk[old_sl]
+                cur = out.blocks.get(new_key)
+                if cur is None:
+                    cur = jnp.zeros(out.intra_block_dims(new_key), self.dtype)
+                out.blocks[new_key] = cur.at[new_sl].add(piece.astype(self.dtype))
+        return out
 
     def truncate(self, threshold: float) -> "BlockTensor":
         """Drop blocks whose max |value| ≤ threshold (cf. truncate :1747-1760)."""
+        self._require_dense("truncate")
         out = BlockTensor(self.structures, dtype=self.dtype)
         for key, blk in self.blocks.items():
             if float(jnp.max(jnp.abs(blk))) > threshold:
@@ -294,6 +390,8 @@ class BlockTensor:
             raise BlockTensorError("block structures differ")
 
     def __add__(self, other: "BlockTensor") -> "BlockTensor":
+        self._require_dense("__add__")
+        other._require_dense("__add__")
         self._check_same_structure(other)
         out = self.with_blocks(self.blocks)
         out.dtype = jnp.promote_types(self.dtype, other.dtype)
@@ -334,6 +432,8 @@ class BlockTensor:
         **batched into one einsum** (MXU-friendly), then accumulated by
         result key (:2050-2051).
         """
+        self._require_dense("contract")
+        other._require_dense("contract")
         pairs = [(int(a), int(b)) for a, b in pairs]
         for a, b in pairs:
             if self.structures[a] != other.structures[b]:
@@ -387,6 +487,7 @@ class BlockTensor:
         """Partial trace over two axes with equal structure — only
         diagonal blocks contribute (cf. trace :2105-2168, diagonal-block
         filter :2142-2148)."""
+        self._require_dense("trace")
         a, b = int(axis_a), int(axis_b)
         if self.structures[a] != self.structures[b]:
             raise BlockTensorError("traced axes have different block structures")
@@ -403,6 +504,7 @@ class BlockTensor:
         """Scalar Σ_i T[i, i] for a rank-2 block tensor."""
         if self.ndim != 2:
             raise BlockTensorError("full_trace requires rank 2")
+        self._require_dense("full_trace")
         tot = jnp.zeros((), self.dtype)
         for key, blk in self.blocks.items():
             if key[0] == key[1]:
@@ -412,6 +514,7 @@ class BlockTensor:
     def axis_fixed(self, axis: int, index: int) -> "BlockTensor":
         """Fix one global index along ``axis``, producing a rank-(N-1)
         tensor (cf. axisFixed :2171-2288, slice+reshape :2253)."""
+        self._require_dense("axis_fixed")
         axis = int(axis)
         s = self.structures[axis]
         b = s.first(index)
@@ -429,10 +532,18 @@ class BlockTensor:
     # -- norms (block_tensor.hpp:2426-2440) ------------------------------
     def squared_norm(self):
         from ..utils.tolerance import real_dtype_of
+        from ..sparse.bsr import BSRMatrix
+        from ..sparse.coo import COOMatrix
 
         tot = jnp.zeros((), real_dtype_of(self.dtype))
         for blk in self.blocks.values():
-            tot = tot + jnp.sum(jnp.abs(blk) ** 2).astype(tot.dtype)
+            if isinstance(blk, COOMatrix):
+                v = jnp.sum(jnp.abs(blk.val) ** 2)
+            elif isinstance(blk, BSRMatrix):
+                v = jnp.sum(jnp.abs(blk.data) ** 2)  # padding is zero
+            else:
+                v = jnp.sum(jnp.abs(blk) ** 2)
+            tot = tot + v.astype(tot.dtype)
         return tot
 
     def norm(self):
@@ -499,6 +610,8 @@ def block_einsum(
     """
     if len(tensors) not in (1, 2):
         raise BlockTensorError("block einsum supports 1 or 2 tensors")
+    for t in tensors:
+        t._require_dense("block einsum")
     # label -> list of (tensor_idx, axis)
     label_axes: dict[str, list[tuple[int, int]]] = {}
     for ti, labs in enumerate(in_labels):

@@ -118,16 +118,46 @@ def sector_structure(L: int) -> AddIndices:
 
 
 def heisenberg_block_hamiltonian(
-    L: int, J: float = 1.0, Jz: float | None = None, pbc: bool = False, dtype=np.float64
+    L: int,
+    J: float = 1.0,
+    Jz: float | None = None,
+    pbc: bool = False,
+    dtype=np.float64,
+    storage: str = "sparse",
+    block_shape: tuple[int, int] | None = None,
 ) -> BlockTensor:
     """The full-chain Hamiltonian as a rank-2 BlockTensor over the S_z
     sector structure — block-diagonal because H conserves S_z (the
-    selection-rule showcase; cf. block_tensor.hpp:2014-2029)."""
+    selection-rule showcase; cf. block_tensor.hpp:2014-2029).
+
+    storage: "sparse" (default) keeps each sector block as its COOMatrix
+    — O(nnz) memory, so L=24 (sector dim 2.7M) fits where a dense block
+    would need 58 TB; "bsr" packs each sector into the TPU BSR-ELL
+    layout (``block_shape`` defaults to (8, 128) on TPU, (4, 4)
+    elsewhere); "dense" reproduces the reference's dense-per-block
+    design (block_tensor.hpp:1204-1206) for small L."""
+    if storage not in ("sparse", "bsr", "dense"):
+        raise ValueError(f"storage must be sparse|bsr|dense, got {storage!r}")
     s = sector_structure(L)
     bt = BlockTensor([s, s], dtype=dtype)
     for n_up in range(L + 1):
         coo = heisenberg_sector_coo(L, n_up, J, Jz, pbc, dtype)
-        bt.set_block((n_up, n_up), coo.to_dense())
+        if storage == "dense":
+            bt.set_block((n_up, n_up), coo.to_dense())
+        elif storage == "sparse":
+            bt.set_block((n_up, n_up), coo)
+        else:
+            import jax
+
+            from ..sparse.bsr import bsr_from_coo_arrays
+
+            if block_shape is None:
+                block_shape = (8, 128) if jax.default_backend() == "tpu" else (4, 4)
+            bsr = bsr_from_coo_arrays(
+                np.asarray(coo.row), np.asarray(coo.col), np.asarray(coo.val),
+                coo.shape, block_shape,
+            )
+            bt.set_block((n_up, n_up), bsr)
     return bt
 
 

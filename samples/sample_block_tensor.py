@@ -21,7 +21,7 @@ import eigenex_tpu as ex
 from eigenex_tpu.block.hamiltonians import heisenberg_block_hamiltonian
 
 L = 8
-H = heisenberg_block_hamiltonian(L)
+H = heisenberg_block_hamiltonian(L, storage="dense")  # dense blocks: this sample demos block einsum
 print("Heisenberg chain L =", L)
 print("block structure:", H.structures[0])
 print("stored blocks:", sorted(H.block_keys()), "(diagonal only — Sz conservation)")

@@ -84,7 +84,7 @@ class TestGroundState:
 
     def test_block_hamiltonian_matches_dense_blocks(self):
         L = 6
-        bt = heisenberg_block_hamiltonian(L)
+        bt = heisenberg_block_hamiltonian(L, storage="dense")
         # block-diagonal by Sz conservation
         assert all(k[0] == k[1] for k in bt.block_keys())
         # each sector block's spectrum matches its sparse twin
@@ -100,7 +100,7 @@ class TestGroundState:
         """BlockTensor contract as Hamiltonian application: Rayleigh
         quotient at the per-sector Lanczos ground vector."""
         L = 8
-        bt = heisenberg_block_hamiltonian(L)
+        bt = heisenberg_block_hamiltonian(L, storage="dense")
         e, sector, vec, _ = heisenberg_ground_state(L)
         from eigenex_tpu.block.block_tensor import BlockTensor
 
