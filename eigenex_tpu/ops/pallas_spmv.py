@@ -65,6 +65,8 @@ def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
     natively (f64, complex) and for row counts the tile rules reject."""
     nbr, kmax, bm, bn = bsr.data.shape
     R = _ROWS_PER_PROGRAM
+    if not interpret and jax.default_backend() != "tpu":
+        return bsr.matvec(x)  # Pallas TPU kernels need TPU (or interpret mode)
     if bsr.dtype not in (jnp.float32, jnp.bfloat16) or nbr % R or bm % 8 or bn % 128:
         return bsr.matvec(x)
     nbc = bsr.n_block_cols
@@ -85,9 +87,20 @@ def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((R, bm), lambda i, cols: (i, 0), memory_space=pltpu.VMEM),
     )
+    # under shard_map the output aval must carry the mesh axes it varies
+    # over (vma); y varies wherever the block data does (x may be the
+    # all_gather'ed, mesh-invariant copy)
+    vma = getattr(jax.typeof(bsr.data), "vma", None) or getattr(
+        jax.typeof(x2), "vma", None
+    )
+    out_struct = (
+        jax.ShapeDtypeStruct((nbr, bm), out_dtype, vma=vma)
+        if vma
+        else jax.ShapeDtypeStruct((nbr, bm), out_dtype)
+    )
     y = pl.pallas_call(
         partial(_spmv_kernel, kmax, R),
-        out_shape=jax.ShapeDtypeStruct((nbr, bm), out_dtype),
+        out_shape=out_struct,
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

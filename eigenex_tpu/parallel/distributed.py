@@ -7,16 +7,29 @@ the same axis, Gram-Schmidt inner products complete with ``lax.psum``,
 and each matvec reconstitutes the needed x segments with collectives
 lowered by XLA onto ICI.
 
-Two matvec strategies:
+Three matvec strategies:
 
-- **all-gather** (general sparsity): ``lax.all_gather`` the x shards,
-  then local BSR-ELL SpMV.  Correctness baseline; bandwidth n per
-  device per matvec.
+- **all-gather** (general sparsity, row-partitioned): ``lax.all_gather``
+  the x shards, then local BSR-ELL SpMV.  Correctness baseline;
+  bandwidth n per device per matvec (collective BEFORE compute).
+- **column-split** (general sparsity, column-partitioned): each device
+  holds the block-column panel matching its own x shard, computes a
+  full-length partial product with NO input collective, then reduces
+  with ``lax.psum_scatter`` — the reduce_scatter dual of all-gather
+  (same wire volume, but the collective comes AFTER the local SpMV, so
+  XLA can overlap the reduction of early output tiles with the tail of
+  the compute; also the layout of choice when x shards are produced
+  locally by a previous sharded op).  SURVEY.md §5's
+  ``reduce_scatter``-fused mandate.
 - **neighbor halo** (:func:`halo_matvec`, for operators whose column
   blocks only reach the adjacent shards — banded/PDE/chain
   Hamiltonians): exchange only the boundary block segments via
   ``lax.ppermute`` ring shifts, overlapped by XLA with the local
   diagonal-part SpMV (SURVEY.md §5's ring-attention analog).
+
+The local SpMV inside every mode can run through the Pallas BSR kernel
+(``use_pallas=True``; "interpret" for CPU-mesh tests) instead of the
+XLA gather+einsum path.
 
 The distributed Lanczos reuses the *identical* step body as the
 single-device solver (``_lanczos_chunk_body`` with ``axis_name`` set) —
@@ -52,8 +65,13 @@ from .mesh import ROWS, make_mesh
 __all__ = [
     "pad_bsr_for_mesh",
     "distributed_lanczos_steps",
+    "distributed_arnoldi_steps",
     "DistributedLanczosEigenSolver",
+    "DistributedThickRestartLanczosEigenSolver",
+    "DistributedKrylovSchurArnoldiSolver",
     "halo_matvec",
+    "split_bsr_halo",
+    "split_bsr_colpanels",
 ]
 
 
@@ -102,12 +120,15 @@ def _acc_dtype_of(dtype):
     return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
 
 
-def _local_allgather_matvec(params, x_local, *, axis_name, bn):
-    """Local-shard matvec: gather all x shards, apply the local block
-    rows.  Runs inside shard_map."""
-    data, cols = params
-    x = lax.all_gather(x_local, axis_name, tiled=True)  # (n,)
-    xb = x.reshape(-1, bn)[cols]  # (nbr_local, kmax, bn)
+def _local_ell_spmv(data, cols, x, use_pallas):
+    """Shard-local BSR-ELL SpMV: XLA gather+einsum or the Pallas kernel."""
+    bn = data.shape[3]
+    if use_pallas:
+        from ..ops.pallas_spmv import bsr_matvec_pallas
+
+        bsr_local = BSRMatrix(data, cols, (data.shape[0] * data.shape[2], x.shape[0]))
+        return bsr_matvec_pallas(bsr_local, x, interpret=use_pallas == "interpret")
+    xb = x.reshape(-1, bn)[cols]
     acc = _acc_dtype_of(data.dtype)
     y = jnp.einsum(
         "rkij,rkj->ri", data, xb.astype(data.dtype), preferred_element_type=acc
@@ -115,19 +136,47 @@ def _local_allgather_matvec(params, x_local, *, axis_name, bn):
     return y.reshape(-1).astype(acc)
 
 
+def _local_allgather_matvec(params, x_local, *, axis_name, bn, use_pallas=False):
+    """Local-shard matvec: gather all x shards, apply the local block
+    rows.  Runs inside shard_map."""
+    data, cols = params
+    x = lax.all_gather(x_local, axis_name, tiled=True)  # (n,)
+    return _local_ell_spmv(data, cols, x, use_pallas)
+
+
+def _local_colsplit_matvec(params, x_local, *, axis_name, bn, use_pallas=False):
+    """Column-panel matvec: the local panel consumes only the OWN x shard
+    (its block-column ids are panel-local), produces a full-length
+    partial y, and ``lax.psum_scatter`` both sums the partials across the
+    mesh and leaves each device its own y shard — all_gather's
+    reduce_scatter dual.  Runs inside shard_map."""
+    data, cols = params
+    y_partial = _local_ell_spmv(data, cols, x_local, use_pallas)
+    return lax.psum_scatter(y_partial, axis_name, scatter_dimension=0, tiled=True)
+
+
 # cache of compiled distributed chunk runners, keyed by static config
 _DIST_CHUNK_CACHE: dict = {}
 
 
-def _build_local_operator(mode, op_arrays, axis_name, bn, n_total, dtype):
+def _build_local_operator(mode, op_arrays, axis_name, bn, n_total, dtype, use_pallas=False):
     """Local-shard matvec operator from the sharded BSR arrays."""
     if mode == "allgather":
         data, cols = op_arrays
         nbr_local, _, bm, _ = data.shape
         return LinearOperator(
-            partial(_local_allgather_matvec, axis_name=axis_name, bn=bn),
+            partial(_local_allgather_matvec, axis_name=axis_name, bn=bn, use_pallas=use_pallas),
             (data, cols),
             (nbr_local * bm, n_total),
+            dtype,
+        )
+    if mode == "colsplit":
+        data, cols = op_arrays
+        nbr_full, _, bm, _ = data.shape  # ALL block rows (panel has full height)
+        return LinearOperator(
+            partial(_local_colsplit_matvec, axis_name=axis_name, bn=bn, use_pallas=use_pallas),
+            (data, cols),
+            (n_total, n_total),
             dtype,
         )
     dd, dc, ld, lc, rd, rc = op_arrays
@@ -141,14 +190,15 @@ def _build_local_operator(mode, op_arrays, axis_name, bn, n_total, dtype):
 
 
 def _get_dist_chunk(
-    mesh, axis_name, num_steps, reorth, has_deflate, bn, mode, si_cg_iters=None
+    mesh, axis_name, num_steps, reorth, has_deflate, bn, mode, si_cg_iters=None,
+    use_pallas=False,
 ):
-    key = (mesh, axis_name, num_steps, reorth, has_deflate, bn, mode, si_cg_iters)
+    key = (mesh, axis_name, num_steps, reorth, has_deflate, bn, mode, si_cg_iters, use_pallas)
     fn = _DIST_CHUNK_CACHE.get(key)
     if fn is not None:
         return fn
 
-    n_op_args = 2 if mode == "allgather" else 6
+    n_op_args = 6 if mode == "halo" else 2
 
     def body(*args):
         op_arrays = args[:n_op_args]
@@ -159,7 +209,7 @@ def _get_dist_chunk(
                 V, alpha, beta, k, breakdown, failed, shift, bd, deflate, sigma, cg_tol,
             ) = args[n_op_args:]
         op_local = _build_local_operator(
-            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype
+            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype, use_pallas
         )
         if si_cg_iters is not None:
             # shift-invert: each Lanczos matvec is a mesh-parallel CG solve
@@ -223,6 +273,9 @@ def _get_dist_chunk(
         mesh=mesh,
         in_specs=(P(axis_name),) * n_op_args + state_specs,
         out_specs=(P(None, axis_name), P(), P(), P(), P(), P()),
+        # the Pallas interpret path trips JAX's vma checker on in-kernel
+        # dynamic_slice (jax-ml/jax suggested workaround)
+        check_vma=not use_pallas,
     )
     fn = jax.jit(sharded)
     _DIST_CHUNK_CACHE[key] = fn
@@ -245,6 +298,7 @@ def distributed_lanczos_steps(
     shift_invert_sigma=None,
     cg_tol: float = 1e-8,
     cg_max_iters: int = 500,
+    use_pallas: bool | str = False,
 ) -> LanczosState:
     """Run Lanczos steps with the operator row-partitioned over ``mesh``.
 
@@ -257,11 +311,15 @@ def distributed_lanczos_steps(
     Same semantics as :func:`eigenex_tpu.solvers.lanczos.lanczos_steps`;
     the basis is sharded ``P(None, rows)``, α/β/k replicated.
 
-    ``matvec_mode``: "allgather" (general sparsity) or "halo"
-    (neighbor-banded operators: ppermute boundary exchange overlapped
-    with the local diagonal SpMV — BASELINE config 5's halo-overlapped
-    SpMV).  Halo requires the operator's column blocks to reach only the
-    adjacent shards (checked at split time).
+    ``matvec_mode``: "allgather" (general sparsity), "colsplit" (general
+    sparsity, column panels + ``psum_scatter`` — the reduce_scatter
+    dual) or "halo" (neighbor-banded operators: ppermute boundary
+    exchange overlapped with the local diagonal SpMV — BASELINE config
+    5's halo-overlapped SpMV).  Halo requires the operator's column
+    blocks to reach only the adjacent shards (checked at split time).
+
+    ``use_pallas``: run the shard-local SpMV through the Pallas BSR
+    kernel ("interpret" for CPU-mesh tests).
     """
     nd = mesh.shape[axis_name]
     if bsr.n_block_rows % nd:
@@ -271,7 +329,7 @@ def distributed_lanczos_steps(
         )
     if bsr.shape[0] != bsr.shape[1]:
         raise EigenexError("Lanczos requires a square operator")
-    if matvec_mode not in ("allgather", "halo"):
+    if matvec_mode not in ("allgather", "colsplit", "halo"):
         raise EigenexError(f"unknown matvec_mode {matvec_mode!r}")
     rdt = real_dtype_of(bsr.dtype)
     if breakdown_threshold is None:
@@ -282,11 +340,14 @@ def distributed_lanczos_steps(
     si_iters = None if shift_invert_sigma is None else int(cg_max_iters)
     fn = _get_dist_chunk(
         mesh, axis_name, int(num_steps), int(reorthogonalize_interval), has_deflate,
-        bsr.block_shape[1], matvec_mode, si_iters,
+        bsr.block_shape[1], matvec_mode, si_iters, use_pallas,
     )
     if matvec_mode == "halo":
         diag, left, right = halo_parts if halo_parts is not None else split_bsr_halo(bsr, nd)
         op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
+    elif matvec_mode == "colsplit":
+        pd, pc = halo_parts if halo_parts is not None else split_bsr_colpanels(bsr, nd)
+        op_arrays = (pd, pc)
     else:
         op_arrays = (bsr.data, bsr.block_cols)
     extra = ()
@@ -315,14 +376,19 @@ class _DistributedBSRSolverMixin:
 
     Subclasses call ``_init_distributed`` after their base ``__init__``."""
 
-    def _init_distributed(self, bsr, mesh, axis_name, matvec_mode, orig_n):
+    def _init_distributed(self, bsr, mesh, axis_name, matvec_mode, orig_n, use_pallas=False):
         self.bsr = bsr
         self.mesh = mesh
         self.axis_name = axis_name
         self.matvec_mode = matvec_mode
-        self._halo_parts = (
-            split_bsr_halo(bsr, mesh.shape[axis_name]) if matvec_mode == "halo" else None
-        )
+        self.use_pallas = use_pallas
+        nd = mesh.shape[axis_name]
+        if matvec_mode == "halo":
+            self._halo_parts = split_bsr_halo(bsr, nd)
+        elif matvec_mode == "colsplit":
+            self._halo_parts = split_bsr_colpanels(bsr, nd)
+        else:
+            self._halo_parts = None
         if bsr.shape[0] != orig_n:
             self._initial_vector = _padding_safe_v0(
                 orig_n, bsr.shape[0], bsr.dtype, self.options.seed
@@ -344,6 +410,7 @@ class _DistributedBSRSolverMixin:
             breakdown_threshold=breakdown_threshold,
             matvec_mode=self.matvec_mode,
             halo_parts=self._halo_parts,
+            use_pallas=self.use_pallas,
         )
 
 
@@ -360,12 +427,13 @@ class DistributedLanczosEigenSolver(_DistributedBSRSolverMixin, LanczosEigenSolv
         options: LanczosOptions | None = None,
         axis_name: str = ROWS,
         matvec_mode: str = "allgather",
+        use_pallas: bool | str = False,
     ):
         mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
         orig_n = bsr.shape[0]
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
         super().__init__(bsr.as_linear_operator(use_pallas=False), options)
-        self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n)
+        self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n, use_pallas)
 
     def _run_chunk(self, op, state, num_steps, breakdown_threshold):
         o = self.options
@@ -381,6 +449,7 @@ class DistributedLanczosEigenSolver(_DistributedBSRSolverMixin, LanczosEigenSolv
             deflate=self._deflate,
             matvec_mode=self.matvec_mode,
             halo_parts=self._halo_parts,
+            use_pallas=self.use_pallas,
         )
 
 
@@ -390,18 +459,18 @@ class DistributedLanczosEigenSolver(_DistributedBSRSolverMixin, LanczosEigenSolv
 _DIST_ARNOLDI_CACHE: dict = {}
 
 
-def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode):
-    key = (mesh, axis_name, num_steps, bn, mode)
+def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode, use_pallas=False):
+    key = (mesh, axis_name, num_steps, bn, mode, use_pallas)
     fn = _DIST_ARNOLDI_CACHE.get(key)
     if fn is not None:
         return fn
-    n_op_args = 2 if mode == "allgather" else 6
+    n_op_args = 6 if mode == "halo" else 2
 
     def body(*args):
         op_arrays = args[:n_op_args]
         V, H, k, breakdown, residue, failed, shift, bd = args[n_op_args:]
         op_local = _build_local_operator(
-            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype
+            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype, use_pallas
         )
         state = ArnoldiState(
             V=V, H=H, k=k, breakdown=breakdown, residue=residue, failed=failed
@@ -434,6 +503,7 @@ def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode):
             P(),  # breakdown threshold
         ),
         out_specs=(P(None, axis_name), P(), P(), P(), P(), P()),
+        check_vma=not use_pallas,
     )
     fn = jax.jit(sharded)
     _DIST_ARNOLDI_CACHE[key] = fn
@@ -451,6 +521,7 @@ def distributed_arnoldi_steps(
     breakdown_threshold: float | None = None,
     matvec_mode: str = "allgather",
     halo_parts=None,
+    use_pallas: bool | str = False,
 ) -> ArnoldiState:
     """Arnoldi basis/Hessenberg build with the operator row-partitioned
     over ``mesh`` — powers the distributed thick-restart solver and
@@ -462,11 +533,14 @@ def distributed_arnoldi_steps(
     if breakdown_threshold is None:
         breakdown_threshold = default_breakdown_threshold(bsr.dtype)
     fn = _get_dist_arnoldi_chunk(
-        mesh, axis_name, int(num_steps), bsr.block_shape[1], matvec_mode
+        mesh, axis_name, int(num_steps), bsr.block_shape[1], matvec_mode, use_pallas
     )
     if matvec_mode == "halo":
         diag, left, right = halo_parts if halo_parts is not None else split_bsr_halo(bsr, nd)
         op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
+    elif matvec_mode == "colsplit":
+        pd, pc = halo_parts if halo_parts is not None else split_bsr_colpanels(bsr, nd)
+        op_arrays = (pd, pc)
     else:
         op_arrays = (bsr.data, bsr.block_cols)
     V, H, k, brk, res, failed = fn(
@@ -502,12 +576,13 @@ class DistributedThickRestartLanczosEigenSolver(
         options: ThickRestartOptions | None = None,
         axis_name: str = ROWS,
         matvec_mode: str = "allgather",
+        use_pallas: bool | str = False,
     ):
         mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
         orig_n = bsr.shape[0]
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
         super().__init__(bsr.as_linear_operator(use_pallas=False), options)
-        self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n)
+        self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n, use_pallas)
 
 
 # ---------------------------------------------------------------------------
@@ -616,6 +691,51 @@ def split_bsr_halo(bsr: BSRMatrix, n_shards: int):
     return out["diag"], out["left"], out["right"]
 
 
+def split_bsr_colpanels(bsr: BSRMatrix, n_shards: int):
+    """Host-side split of a BSR matrix into block-COLUMN panels with
+    *panel-local* block-column ids, stacked so ``P(axis)`` sharding hands
+    each device its own panel (the colsplit/psum_scatter matvec layout).
+
+    Returns (data (nd·nbr, kmax_p, bm, bn), cols (nd·nbr, kmax_p)) where
+    panel d occupies rows [d·nbr, (d+1)·nbr)."""
+    nbr = bsr.n_block_rows
+    nbc = bsr.n_block_cols
+    if nbc % n_shards:
+        raise EigenexError("pad_bsr_for_mesh before split_bsr_colpanels")
+    cols_per = nbc // n_shards
+    data = np.asarray(bsr.data)
+    cols = np.asarray(bsr.block_cols)
+    kmax = bsr.k_max
+    bm, bn = bsr.block_shape
+
+    buckets: list[list[list[tuple]]] = [
+        [[] for _ in range(nbr)] for _ in range(n_shards)
+    ]
+    for r in range(nbr):
+        for k in range(kmax):
+            c = int(cols[r, k])
+            blk = data[r, k]
+            if not np.any(blk):
+                continue
+            d = c // cols_per
+            buckets[d][r].append((c % cols_per, blk))
+    kmax_p = max(
+        (len(b) for panel in buckets for b in panel), default=0
+    )
+    kmax_p = max(kmax_p, 1)
+    out_d = np.zeros((n_shards, nbr, kmax_p, bm, bn), data.dtype)
+    out_c = np.zeros((n_shards, nbr, kmax_p), np.int32)
+    for d in range(n_shards):
+        for r in range(nbr):
+            for slot, (lc, blk) in enumerate(buckets[d][r]):
+                out_d[d, r, slot] = blk
+                out_c[d, r, slot] = lc
+    return (
+        jnp.asarray(out_d.reshape(n_shards * nbr, kmax_p, bm, bn)),
+        jnp.asarray(out_c.reshape(n_shards * nbr, kmax_p)),
+    )
+
+
 class DistributedKrylovSchurArnoldiSolver(_DistributedBSRSolverMixin, KrylovSchurArnoldiSolver):
     """Krylov-Schur restarted Arnoldi with the iteration chunk
     row-partitioned over a device mesh — the general-operator counterpart
@@ -628,9 +748,10 @@ class DistributedKrylovSchurArnoldiSolver(_DistributedBSRSolverMixin, KrylovSchu
         options=None,
         axis_name: str = ROWS,
         matvec_mode: str = "allgather",
+        use_pallas: bool | str = False,
     ):
         mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
         orig_n = bsr.shape[0]
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
         super().__init__(bsr.as_linear_operator(use_pallas=False), options)
-        self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n)
+        self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n, use_pallas)

@@ -255,3 +255,100 @@ def test_distributed_krylov_schur(mesh):
     np.testing.assert_allclose(
         np.sort(np.abs(res.eigenvalues)), np.sort(np.abs(ref[:2])), atol=1e-7
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2: colsplit (psum_scatter) matvec mode + Pallas local SpMV
+# (SURVEY.md section 5's reduce_scatter mandate; VERDICT round-1 item 6)
+# ---------------------------------------------------------------------------
+class TestColsplitMatvec:
+    def test_colsplit_matvec_matches_local(self, mesh):
+        from eigenex_tpu.parallel.distributed import (
+            _local_colsplit_matvec,
+            split_bsr_colpanels,
+        )
+
+        bsr = pad_bsr_for_mesh(laplacian_bsr(64, 4), 8)
+        pd, pc = split_bsr_colpanels(bsr, 8)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(bsr.shape[1]))
+        f = shard_map(
+            lambda d, c, x: _local_colsplit_matvec((d, c), x, axis_name="rows", bn=4),
+            mesh=mesh,
+            in_specs=(P("rows"), P("rows"), P("rows")),
+            out_specs=P("rows"),
+        )
+        np.testing.assert_allclose(f(pd, pc, x), bsr.matvec(x), atol=1e-12)
+
+    def test_colsplit_dense_random(self, mesh):
+        # non-banded sparsity: every panel nontrivial
+        from eigenex_tpu.parallel.distributed import (
+            _local_colsplit_matvec,
+            split_bsr_colpanels,
+        )
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+
+        rng = np.random.default_rng(5)
+        A = rng.standard_normal((64, 64))
+        A[rng.random((64, 64)) > 0.4] = 0
+        bsr = pad_bsr_for_mesh(bsr_from_dense(A, (4, 4)), 8)
+        pd, pc = split_bsr_colpanels(bsr, 8)
+        x = jnp.asarray(rng.standard_normal(bsr.shape[1]))
+        f = shard_map(
+            lambda d, c, x: _local_colsplit_matvec((d, c), x, axis_name="rows", bn=4),
+            mesh=mesh,
+            in_specs=(P("rows"), P("rows"), P("rows")),
+            out_specs=P("rows"),
+        )
+        np.testing.assert_allclose(f(pd, pc, x), bsr.matvec(x), atol=1e-12)
+
+    def test_colsplit_lanczos_bitmatches_allgather(self, mesh):
+        from eigenex_tpu.parallel.distributed import distributed_lanczos_steps
+        from eigenex_tpu.solvers.lanczos import init_lanczos_state
+
+        bsr = pad_bsr_for_mesh(laplacian_bsr(64, 4), 8)
+        op = bsr.as_linear_operator(use_pallas=False)
+        s0 = init_lanczos_state(op, 24, seed=3)
+        sa = distributed_lanczos_steps(bsr, s0, 24, mesh, matvec_mode="allgather")
+        sc = distributed_lanczos_steps(bsr, s0, 24, mesh, matvec_mode="colsplit")
+        np.testing.assert_allclose(
+            np.asarray(sa.alpha), np.asarray(sc.alpha), atol=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(sa.beta), np.asarray(sc.beta), atol=1e-12)
+
+    def test_colsplit_solver_converges(self, mesh):
+        n = 128
+        bsr = laplacian_bsr(n, 4)
+        solver = DistributedLanczosEigenSolver(
+            bsr, mesh,
+            LanczosOptions(max_eigenvalues=2, tolerance=1e-13, max_subspace=n),
+            matvec_mode="colsplit",
+        )
+        res = solver.compute()
+        exact = [2 - 2 * np.cos((j + 1) * np.pi / (n + 1)) for j in range(2)]
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-9)
+
+
+class TestPallasLocalSpMV:
+    def test_pallas_interpret_matches_xla_under_shard_map(self, mesh):
+        # Pallas kernel structural constraints: bm%8==0, bn%128==0,
+        # nbr_local%8==0 → 64 block rows of (8,128) over 8 devices
+        from eigenex_tpu.parallel.distributed import distributed_lanczos_steps
+        from eigenex_tpu.solvers.lanczos import init_lanczos_state
+
+        n = 64 * 8  # 64 block rows of bm=8
+        r = np.arange(n)
+        rows = np.concatenate([r, r[:-1], r[1:]])
+        cols = np.concatenate([r, r[1:], r[:-1]])
+        vals = np.concatenate(
+            [2 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)]
+        ).astype(np.float32)
+        bsr = bsr_from_coo_arrays(rows, cols, vals, (n, n), (8, 128))
+        bsr = pad_bsr_for_mesh(bsr, 8)
+        op = bsr.as_linear_operator(use_pallas=False)
+        s0 = init_lanczos_state(op, 8, seed=0)
+        sx = distributed_lanczos_steps(bsr, s0, 8, mesh, use_pallas=False)
+        sp = distributed_lanczos_steps(bsr, s0, 8, mesh, use_pallas="interpret")
+        np.testing.assert_allclose(
+            np.asarray(sx.alpha), np.asarray(sp.alpha), atol=1e-5
+        )
+        np.testing.assert_allclose(np.asarray(sx.beta), np.asarray(sp.beta), atol=1e-5)
