@@ -76,12 +76,14 @@ from .sparse import (
     COOBuilder,
     COOMatrix,
     CSRMatrix,
+    SymBSRMatrix,
     bsr_from_coo_arrays,
     bsr_from_dense,
     coo_from_dense,
     coo_identity,
     csr_from_coo,
     csr_from_dense,
+    sym_bsr_from_bsr,
 )
 from .solvers.lanczos import (
     UNLIMITED,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bsr_matvec_pallas", "bsr_matmat_pallas"]
+__all__ = ["bsr_matvec_pallas", "bsr_matmat_pallas", "sym_bsr_matvec_pallas"]
 
 
 #: block rows processed per grid program — keeps the output tile
@@ -41,20 +41,30 @@ def _spmv_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
     """``rows_per`` block rows per program:
     y[r] = Σ_k data[r, k] @ x[cols[r, k]].
 
+    The block product is computed in ROW-VECTOR form,
+    ``(1, bn) · contract(dim 1 of blk) → (1, bm)`` via ``dot_general`` —
+    the gathered x row stays in the lane dimension, avoiding the
+    lane→sublane transpose that ``blk @ x[:, None]`` would need (measured
+    on v5e: 365 vs 283 Gnnz/s bf16, 200 vs ~150-190 f32).
+
     ``cols_ref`` is the FLATTENED (nbr*kmax,) column-id array: SMEM pads
     the last axis to 128 lanes, so a (nbr, kmax) layout would waste
     128/kmax× scalar memory and overflow the 1 MB SMEM budget."""
     r0 = pl.program_id(0) * rows_per
     bm = y_ref.shape[-1]
     for i in range(rows_per):
-        acc = jnp.zeros((bm, 1), jnp.float32)
+        acc = jnp.zeros((1, bm), jnp.float32)
         for k in range(kmax):
             c = cols_ref[(r0 + i) * kmax + k]
-            xb = x_ref[c, :]  # (bn,) — x stays f32: dynamic single-row
-            # loads need 8-sublane tiling; bf16's 16-row tiles reject them
+            xb = x_ref[c, :][None, :]  # (1, bn) — x stays f32: dynamic
+            # single-row loads need 8-sublane tiling; bf16's 16-row tiles
+            # reject them
             blk = data_ref[i, k].astype(jnp.float32)  # (bm, bn)
-            acc = acc + jnp.dot(blk, xb[:, None], preferred_element_type=jnp.float32)
-        y_ref[i, :] = acc[:, 0].astype(y_ref.dtype)
+            acc = acc + jax.lax.dot_general(
+                xb, blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        y_ref[i, :] = acc[0].astype(y_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -112,6 +122,100 @@ def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
         ),
     )(bsr.block_cols.reshape(-1), bsr.data, x2)
     return y.reshape(bsr.shape[0])
+
+
+def _sym_spmv_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_ref, y_ref):
+    """Symmetric SpMV over diagonal + strictly-UPPER block storage: each
+    off-diagonal block B at (r, c>r) is read from HBM ONCE and applied
+    twice — y[r] += B·x[c] and y[c] += Bᵀ·x[r] — halving the dominant
+    HBM traffic for symmetric operators (the Lanczos matvec case).  The
+    dense einsum XLA path cannot do this; measured on v5e it lifts bf16
+    SpMV from ~356-374 to ~486-531 effective Gnnz/s (~1.4×).
+
+    The full y lives VMEM-resident as the accumulator (the TPU grid is
+    sequential on a core, so cross-row scatter accumulation is safe);
+    both products use the row-vector ``dot_general`` form, the transpose
+    application contracting dim 0 of B — no transpose is materialized."""
+    pid = pl.program_id(0)
+    r0 = pid * rows_per
+
+    @pl.when(pid == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    for i in range(rows_per):
+        r = r0 + i
+        xr = x_ref[r, :][None, :]  # (1, bn)
+        D = diag_ref[i].astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        for k in range(ku):
+            c = cols_ref[r * ku + k]
+            xb = x_ref[c, :][None, :]
+            B = upper_ref[i, k].astype(jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # transpose contribution y[c] += Bᵀ x[r]  (= x[r] · B)
+            yc = jax.lax.dot_general(
+                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            y_ref[pl.ds(c, 1), :] = y_ref[pl.ds(c, 1), :] + yc.astype(y_ref.dtype)
+        y_ref[pl.ds(r, 1), :] = y_ref[pl.ds(r, 1), :] + acc.astype(y_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sym_bsr_matvec_pallas(sym, x: jax.Array, interpret: bool = False) -> jax.Array:
+    """y = A @ x for a symmetric BSR matrix stored as diagonal blocks +
+    strictly-upper BSR-ELL (:class:`eigenex_tpu.sparse.sym_bsr.SymBSRMatrix`).
+
+    Falls back to the container's XLA path off-TPU or for unsupported
+    dtypes/shapes."""
+    nbr, ku, bm, bn = sym.upper_data.shape
+    R = _ROWS_PER_PROGRAM
+    if not interpret and jax.default_backend() != "tpu":
+        return sym._xla_matvec(x)
+    if sym.dtype not in (jnp.float32, jnp.bfloat16) or nbr % R or bm % 8 or bn % 128 or bm != bn:
+        return sym._xla_matvec(x)
+    nbc = sym.shape[1] // bn
+    x2 = x.astype(jnp.float32).reshape(nbc, bn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr // R,),
+        in_specs=[
+            pl.BlockSpec((R, bm, bn), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (R, ku, bm, bn), lambda i, cols: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2 resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # full y accumulator
+    )
+    vma = getattr(jax.typeof(sym.upper_data), "vma", None) or getattr(
+        jax.typeof(x2), "vma", None
+    )
+    out_struct = (
+        jax.ShapeDtypeStruct((nbr, bm), jnp.float32, vma=vma)
+        if vma
+        else jax.ShapeDtypeStruct((nbr, bm), jnp.float32)
+    )
+    itemsize = sym.upper_data.dtype.itemsize
+    y = pl.pallas_call(
+        partial(_sym_spmv_kernel, ku, R),
+        out_shape=out_struct,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (sym.diag_data.size + 2 * sym.upper_data.size),
+            bytes_accessed=(sym.diag_data.size + sym.upper_data.size) * itemsize
+            + x2.size * 4
+            + nbr * bm * 4,
+            transcendentals=0,
+        ),
+    )(sym.upper_cols.reshape(-1), sym.diag_data, sym.upper_data, x2)
+    return y.reshape(sym.shape[0])
 
 
 def _spmm_kernel(kmax: int, cols_ref, data_ref, x_ref, y_ref):

@@ -312,7 +312,7 @@ def _maybe_refine_general(res, coo, refine):
         raise EigenexError("refine=True requires computed eigenvectors")
     from .refine import general_inverse_iteration_refine
 
-    iters = int(refine) if not isinstance(refine, bool) else 3
+    iters = int(refine) if not isinstance(refine, bool) else 60
     lam, X, _ = general_inverse_iteration_refine(
         coo, np.asarray(res.eigenvectors), np.asarray(res.eigenvalues), iters=iters
     )

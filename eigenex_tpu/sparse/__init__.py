@@ -1,6 +1,7 @@
 from .bsr import BSRMatrix, bsr_from_coo_arrays, bsr_from_dense
 from .coo import COOBuilder, COOMatrix, coo_from_dense, coo_identity
 from .csr import CSRMatrix, csr_from_coo, csr_from_dense
+from .sym_bsr import SymBSRMatrix, sym_bsr_from_bsr
 
 __all__ = [
     "BSRMatrix",
@@ -13,4 +14,6 @@ __all__ = [
     "CSRMatrix",
     "csr_from_coo",
     "csr_from_dense",
+    "SymBSRMatrix",
+    "sym_bsr_from_bsr",
 ]
