@@ -95,14 +95,19 @@ def main():
     resid = np.linalg.norm(A64 @ X - X * lam[None, :], axis=0)
     print(f"# f64 residuals (device pairs): {resid}", file=sys.stderr)
 
-    # host f64 polish: residual-controlled block inverse iteration
+    # host f64 polish: shift-invert Arnoldi seeded with the device's
+    # dominant Ritz pair (one LU + m triangular solves — block inverse
+    # iteration refactorizes p LUs per step and stalls ~1e-8 at this n)
     from eigenex_tpu.sparse.coo import COOMatrix
-    from eigenex_tpu.solvers.refine import general_inverse_iteration_refine
+    from eigenex_tpu.solvers.refine import shift_invert_arnoldi_refine
 
     t0 = time.time()
     # host-resident f64 triplets (a device COOMatrix would truncate to f32)
     coo64 = COOMatrix(r.astype(np.int32), c.astype(np.int32), v, (n, n))
-    lam64, X64, resid64 = general_inverse_iteration_refine(coo64, X, lam)
+    top = int(np.argmax(np.abs(lam)))
+    lam64, X64, resid64 = shift_invert_arnoldi_refine(
+        coo64, complex(lam[top]) * (1 + 1e-6) + 1e-6j, k=4, m=100, v0=X[:, top]
+    )
     t_refine = time.time() - t0
     backward = float(resid64.max()) / float(np.abs(lam64).max())
     print(

@@ -41,11 +41,14 @@ def _resolve_operand(A):
     """(operator, coo_or_None, bsr_or_None) from any accepted operand."""
     from ..sparse.bsr import BSRMatrix
     from ..sparse.coo import COOMatrix
+    from ..sparse.sym_bsr import SymBSRMatrix
 
     if isinstance(A, COOMatrix):
         return A.as_linear_operator(), A, None
     if isinstance(A, BSRMatrix):
         return A.as_linear_operator(), None, A
+    if isinstance(A, SymBSRMatrix):
+        return A.as_linear_operator(), None, None
     if isinstance(A, LinearOperator):
         return A, None, None
     return aslinearoperator(A), None, None

@@ -32,6 +32,7 @@ __all__ = [
     "inverse_iteration_refine",
     "general_rayleigh_refine",
     "general_inverse_iteration_refine",
+    "shift_invert_arnoldi_refine",
 ]
 
 
@@ -209,3 +210,97 @@ def general_inverse_iteration_refine(
     X = X * (np.conj(lead) / np.abs(lead))[None, :]
     _, res = general_rayleigh_refine(coo, X)
     return lam, X, res
+
+
+def shift_invert_arnoldi_refine(
+    coo: COOMatrix,
+    sigma,
+    k: int = 4,
+    m: int = 80,
+    v0=None,
+    tol: float = 1e-12,
+    rounds: int = 3,
+    seed: int = 0,
+):
+    """Host-f64 SHIFT-INVERT ARNOLDI polish — the heavy-duty hybrid
+    bridge for large non-normal operators.
+
+    Per-pair inverse iteration (``general_inverse_iteration_refine``)
+    factorizes p fresh LUs every step and contracts like a power method
+    — on the n=1e5 convection–diffusion baseline it needs >60 rounds
+    (~8 s each) and stalls near 1e-8.  This routine instead factorizes
+    (A − σI) ONCE and builds an m-step f64 Krylov subspace of
+    (A − σI)⁻¹ (m cheap triangular solves, CGS2 orthogonalization) —
+    Krylov-optimal convergence to the eigenvalues nearest σ, the same
+    mode ARPACK uses for such spectra.  If the k best Ritz pairs are not
+    at ``tol`` backward error, σ and the start vector are re-centred on
+    the best Ritz pair and the subspace rebuilt (``rounds`` times).
+
+    coo: host-f64 triplets; sigma: complex shift near the wanted
+    eigenvalues (e.g. the device iteration's dominant Ritz value);
+    v0: optional start vector (e.g. the device eigenvector — seeds the
+    subspace with the converged direction).
+
+    Returns (evals (k,) complex128, X (n, k) complex128, residuals f64)
+    with pairs sorted by descending |λ|."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    A = _coo_scipy64(coo).astype(np.complex128)
+    n = A.shape[0]
+    sigma = complex(sigma)
+    if v0 is None:
+        v = np.random.default_rng(seed).standard_normal(n).astype(np.complex128)
+    else:
+        v = np.asarray(v0, np.complex128).reshape(n).copy()
+    best = None
+    for _ in range(rounds):
+        M = (A - sigma * sp.identity(n, dtype=A.dtype)).tocsc()
+        try:
+            lu = spla.splu(M)
+        except RuntimeError as e:
+            raise EigenexError(f"shift-invert factorization failed at σ={sigma}: {e}")
+        V = np.zeros((n, m + 1), np.complex128)
+        H = np.zeros((m + 1, m), np.complex128)
+        v = v / np.linalg.norm(v)
+        V[:, 0] = v
+        mm = m
+        for j in range(m):
+            w = lu.solve(V[:, j])
+            # CGS2 (twice-is-enough classical Gram–Schmidt)
+            h = V[:, : j + 1].conj().T @ w
+            w = w - V[:, : j + 1] @ h
+            h2 = V[:, : j + 1].conj().T @ w
+            w = w - V[:, : j + 1] @ h2
+            H[: j + 1, j] = h + h2
+            beta = np.linalg.norm(w)
+            H[j + 1, j] = beta
+            if beta <= n * np.finfo(np.float64).eps:
+                mm = j + 1
+                break
+            V[:, j + 1] = w / beta
+        theta, Y = np.linalg.eig(H[:mm, :mm])
+        nz = np.abs(theta) > 0
+        lam = np.where(nz, sigma + 1.0 / np.where(nz, theta, 1.0), np.inf)
+        X = V[:, :mm] @ Y
+        X = X / np.linalg.norm(X, axis=0, keepdims=True)
+        resid = np.linalg.norm(A @ X - X * lam[None, :], axis=0)
+        # keep the k largest-|λ| pairs among the best-converged half
+        good = np.argsort(resid)[: max(k, mm // 2)]
+        pick = good[np.argsort(-np.abs(lam[good]))[:k]]
+        pick = pick[np.argsort(-np.abs(lam[pick]))]
+        cand = (float(resid[pick].max()), lam[pick], X[:, pick], resid[pick])
+        if best is None or cand[0] < best[0]:
+            best = cand
+        scale = max(float(np.abs(lam[pick]).max()), 1.0)
+        if best[0] <= tol * scale:
+            break
+        # re-centre on the best Ritz pair for the next round
+        top = pick[0]
+        sigma = complex(lam[top]) * (1 + 1e-7) + 1e-7j
+        v = X[:, top]
+    _, lam, X, resid = best
+    p = X.shape[1]
+    lead = X[np.argmax(np.abs(X), axis=0), np.arange(p)]
+    X = X * (np.conj(lead) / np.abs(lead))[None, :]
+    return lam, X, resid

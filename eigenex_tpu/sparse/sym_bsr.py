@@ -195,43 +195,43 @@ def sym_bsr_from_bsr(bsr: BSRMatrix, *, check: bool = False, atol: float = 0.0) 
     data = np.asarray(bsr.data)
     cols = np.asarray(bsr.block_cols)
     nbr, kmax = cols.shape
-    diag = np.zeros((nbr, bm, bn), data.dtype)
-    upper: list[list[tuple]] = [[] for _ in range(nbr)]
-    lower: dict[tuple, np.ndarray] = {}
-    for r in range(nbr):
-        for k in range(kmax):
-            c = int(cols[r, k])
-            blk = data[r, k]
-            if not np.any(blk):
-                continue
-            if c == r:
-                diag[r] += blk
-            elif c > r:
-                upper[r].append((c, blk))
-            else:
-                lower[(r, c)] = blk
+    rows = np.arange(nbr)[:, None]  # (nbr, 1)
+
+    nz = data.reshape(nbr, kmax, -1).any(axis=2)  # (nbr, kmax)
+    is_diag = nz & (cols == rows)
+    is_upper = nz & (cols > rows)
+
+    # diagonal: sum the (usually single) on-diagonal slot per row
+    diag = np.einsum("rkij,rk->rij", data, is_diag.astype(data.dtype))
+
     if check:
         herm = np.iscomplexobj(data)
-        for r in range(nbr):
-            for c, blk in upper[r]:
-                mirror = lower.get((c, r))
-                mirror = 0 if mirror is None else mirror
-                want = blk.conj().T if herm else blk.T
-                if not np.allclose(mirror, want, atol=atol, rtol=0):
-                    raise EigenexError(
-                        f"matrix is not symmetric at block ({r}, {c}); "
-                        "sym_bsr_from_bsr would silently change it"
-                    )
-            dsym = diag[r].conj().T if np.iscomplexobj(data) else diag[r].T
-            if not np.allclose(diag[r], dsym, atol=atol, rtol=0):
-                raise EigenexError(f"diagonal block {r} is not symmetric")
-    ku = max(max((len(u) for u in upper), default=0), 1)
-    ud = np.zeros((nbr, ku, bm, bn), data.dtype)
-    uc = np.zeros((nbr, ku), np.int32)
-    for r in range(nbr):
-        for s, (c, blk) in enumerate(upper[r]):
-            ud[r, s] = blk
-            uc[r, s] = c
+        lower: dict[tuple, np.ndarray] = {}
+        for r, k in zip(*np.where(nz & (cols < rows))):
+            lower[(int(r), int(cols[r, k]))] = data[r, k]
+        for r, k in zip(*np.where(is_upper)):
+            c = int(cols[r, k])
+            mirror = lower.get((c, int(r)))
+            mirror = 0 if mirror is None else mirror
+            want = data[r, k].conj().T if herm else data[r, k].T
+            if not np.allclose(mirror, want, atol=atol, rtol=0):
+                raise EigenexError(
+                    f"matrix is not symmetric at block ({r}, {c}); "
+                    "sym_bsr_from_bsr would silently change it"
+                )
+        dsym = np.conj(np.swapaxes(diag, 1, 2)) if herm else np.swapaxes(diag, 1, 2)
+        bad = np.where(~np.isclose(diag, dsym, atol=atol, rtol=0).all(axis=(1, 2)))[0]
+        if bad.size:
+            raise EigenexError(f"diagonal block {int(bad[0])} is not symmetric")
+
+    # pack the upper slots left (stable argsort floats is_upper slots to
+    # the front of each row) — vectorized: no per-block-row Python loop
+    ku = max(int(is_upper.sum(axis=1).max(initial=0)), 1)
+    order = np.argsort(~is_upper, axis=1, kind="stable")[:, :ku]  # (nbr, ku)
+    valid = np.take_along_axis(is_upper, order, axis=1)
+    ud = np.take_along_axis(data, order[:, :, None, None], axis=1).copy()
+    ud[~valid] = 0
+    uc = np.where(valid, np.take_along_axis(cols, order, axis=1), 0).astype(np.int32)
     return SymBSRMatrix(
         jnp.asarray(diag), jnp.asarray(ud), jnp.asarray(uc), bsr.shape
     )

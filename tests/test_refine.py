@@ -101,3 +101,35 @@ class TestGeneralRefine:
         lam, res = general_rayleigh_refine(coo, X[:, :3])
         np.testing.assert_allclose(lam, ev[:3], atol=1e-10)
         assert np.all(res <= 1e-10)
+
+
+class TestShiftInvertArnoldiRefine:
+    def test_converges_from_seed(self):
+        from eigenex_tpu.solvers.refine import shift_invert_arnoldi_refine
+
+        rng = np.random.default_rng(5)
+        B = np.diag(np.arange(1.0, 41.0)) + np.triu(rng.standard_normal((40, 40)), 1)
+        coo = coo_from_dense(B)
+        seed_vec = rng.standard_normal(40)
+        lam, X, res = shift_invert_arnoldi_refine(
+            coo, 39.4 + 0.2j, k=3, m=25, v0=seed_vec
+        )
+        ref = np.sort(np.linalg.eigvals(B).real)[::-1][:3]
+        np.testing.assert_allclose(np.sort(lam.real)[::-1], ref, atol=1e-9)
+        assert np.max(res) < 1e-10
+
+    def test_recentering_rounds(self):
+        # start with a deliberately bad sigma: the re-centering rounds
+        # must walk it onto the dominant pair
+        from eigenex_tpu.solvers.refine import shift_invert_arnoldi_refine
+
+        rng = np.random.default_rng(6)
+        B = np.diag(np.linspace(1.0, 20.0, 30)) + 0.1 * rng.standard_normal((30, 30))
+        coo = coo_from_dense(B)
+        lam, X, res = shift_invert_arnoldi_refine(coo, 25.0 + 0.5j, k=2, m=15, rounds=4)
+        ref = np.linalg.eigvals(B)
+        ref = ref[np.argsort(-np.abs(ref))][:2]
+        assert np.max(res) < 1e-10
+        np.testing.assert_allclose(
+            np.sort_complex(lam), np.sort_complex(ref), atol=1e-8
+        )
