@@ -119,7 +119,7 @@ class BSRMatrix:
                 _bsr_pallas_matvec,
                 self,
                 self.shape,
-                self.dtype,
+                self._acc_dtype,  # bf16 storage still yields f32 matvecs
                 rmatvec_fn=None,
                 matmat_fn=_container_matmat,
             )
@@ -127,7 +127,7 @@ class BSRMatrix:
             _container_matvec,
             self,
             self.shape,
-            self.dtype,
+            self._acc_dtype,
             matmat_fn=_container_matmat,
         )
 

@@ -143,7 +143,7 @@ class SymBSRMatrix:
             use_pallas = jax.default_backend() == "tpu"
         mv = _sym_pallas_matvec if use_pallas else _sym_xla_matvec
         return LinearOperator(
-            mv, self, self.shape, self.dtype,
+            mv, self, self.shape, self._acc_dtype,  # bf16 storage -> f32 matvec
             rmatvec_fn=mv,  # Hermitian: A == Aᴴ
             matmat_fn=_sym_matmat,
         )
