@@ -42,7 +42,7 @@ from .parallel import (
     pad_bsr_for_mesh,
 )
 from .solvers.gmres import gmres_solve, gmres_solve_jit, shift_invert_operator_general
-from .solvers.api import eigs, eigsh
+from .solvers.api import eigs, eigsh, svds
 from .solvers.krylov_schur import KrylovSchurArnoldiSolver, KrylovSchurOptions
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
 from .solvers.cg import cg_solve, shift_invert_operator

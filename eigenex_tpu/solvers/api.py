@@ -34,7 +34,7 @@ from .krylov_schur import KrylovSchurArnoldiSolver, KrylovSchurOptions
 from .lanczos import LanczosEigenSolver, LanczosOptions, LanczosResult
 from .restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
 
-__all__ = ["eigsh", "eigs"]
+__all__ = ["eigsh", "eigs", "svds"]
 
 
 def _resolve_operand(A):
@@ -323,3 +323,85 @@ def _maybe_refine_general(res, coo, refine):
     res.eigenvalues = lam[order]
     res.eigenvectors = X[:, order]
     return res
+
+
+def _gram_right_mv(op, x):  # G = A†A
+    return op.rmatvec(op.matvec(x))
+
+
+def _gram_left_mv(op, x):  # G = AA†
+    return op.matvec(op.rmatvec(x))
+
+
+def svds(
+    A,
+    k: int = 6,
+    *,
+    tol: float | None = None,
+    max_subspace: int | None = None,
+    max_restarts: int = 200,
+    seed: int = 0,
+    return_singular_vectors: bool = True,
+):
+    """Top-``k`` singular triplets of a sparse / matrix-free operator —
+    scipy.sparse.linalg.svds-style one-call front end.
+
+    Runs Hermitian Lanczos (plain or thick-restart) on the smaller-side
+    Gram operator G = A†A or AA† without materializing G (two matvecs
+    per application — BASELINE config 4's route generalized to arbitrary
+    operators; cf. :func:`eigenex_tpu.ops.sparse_svd.truncated_svd_via_lanczos`
+    for the dense-tensor form).  Requires an operand with an adjoint
+    (dense, COOMatrix, or a LinearOperator with ``rmatvec_fn``).
+
+    Returns ``(U (nrows,k), s (k,) descending, Vh (k,ncols))``, or just
+    ``s`` when ``return_singular_vectors=False``."""
+    import jax.numpy as jnp
+
+    op, coo, bsr = _resolve_operand(A)
+    if not op.has_adjoint:
+        raise EigenexError(
+            "svds requires an operator with an adjoint (rmatvec); dense "
+            "matrices, COOMatrix, and LinearOperator(rmatvec_fn=...) all "
+            "provide one"
+        )
+    nrows, ncols = op.shape
+    small = min(nrows, ncols)
+    if k > small:
+        raise EigenexError(f"k={k} exceeds min(shape)={small}")
+    use_right = ncols <= nrows
+    dim = ncols if use_right else nrows
+    g = LinearOperator(
+        _gram_right_mv if use_right else _gram_left_mv, op, (dim, dim), op.dtype
+    )
+    m = min(max_subspace or max(4 * k + 16, 32), dim)
+    indices = tuple(range(-k, 0))  # largest Ritz values of G
+    if m >= dim:
+        res = LanczosEigenSolver(
+            g,
+            LanczosOptions(
+                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_subspace=dim, seed=seed,
+                compute_eigenvectors=return_singular_vectors,
+            ),
+        ).compute()
+    else:
+        res = ThickRestartLanczosEigenSolver(
+            g,
+            ThickRestartOptions(
+                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_subspace=m, max_restarts=max_restarts, seed=seed,
+            ),
+        ).compute()
+    theta = np.maximum(np.asarray(res.eigenvalues)[::-1], 0.0)  # descending
+    s = np.sqrt(theta)
+    if not return_singular_vectors:
+        return s
+    W = res.eigenvectors[:, ::-1]  # (dim, k) for descending σ
+    safe = jnp.asarray(np.where(s > 0, s, 1.0), op.dtype)
+    if use_right:
+        V = W
+        U = op.matmat(V) / safe[None, :]
+    else:
+        U = W
+        V = op.H.matmat(U) / jnp.conj(safe)[None, :]
+    return U, s, jnp.conj(V).T

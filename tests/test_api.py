@@ -174,3 +174,56 @@ def test_mesh_requires_sparse_operand(key):
     mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
     with pytest.raises(EigenexError):
         eigsh(A, k=1, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# svds — scipy-style truncated SVD front end (Gram-Lanczos route)
+# ---------------------------------------------------------------------------
+class TestSvds:
+    def test_tall_dense(self, rng):
+        from eigenex_tpu import svds
+
+        A = rng.standard_normal((40, 12))
+        U, s, Vh = svds(A, k=3, tol=1e-14)
+        ref = np.linalg.svd(A, compute_uv=False)[:3]
+        np.testing.assert_allclose(s, ref, atol=1e-10)
+        # triplets satisfy A v = s u
+        np.testing.assert_allclose(
+            A @ np.asarray(Vh).conj().T, np.asarray(U) * s[None, :], atol=1e-8
+        )
+
+    def test_wide_coo(self, rng):
+        from eigenex_tpu import coo_from_dense, svds
+
+        A = rng.standard_normal((10, 50))
+        A[np.abs(A) < 0.5] = 0
+        U, s, Vh = svds(coo_from_dense(A), k=2, tol=1e-14)
+        ref = np.linalg.svd(A, compute_uv=False)[:2]
+        np.testing.assert_allclose(s, ref, atol=1e-10)
+        np.testing.assert_allclose(
+            A.conj().T @ np.asarray(U), np.asarray(Vh).conj().T * s[None, :], atol=1e-8
+        )
+
+    def test_values_only_and_restarted(self, rng):
+        from eigenex_tpu import svds
+
+        A = rng.standard_normal((300, 200))
+        s = svds(A, k=4, max_subspace=40, return_singular_vectors=False, tol=1e-13)
+        ref = np.linalg.svd(A, compute_uv=False)[:4]
+        np.testing.assert_allclose(s, ref, atol=1e-8)
+
+    def test_requires_adjoint(self):
+        from eigenex_tpu import svds
+        from eigenex_tpu.core.operators import LinearOperator
+        from eigenex_tpu.utils.exceptions import EigenexError
+
+        op = LinearOperator(lambda p, x: x, None, (5, 5), np.float64)
+        with pytest.raises(EigenexError):
+            svds(op, k=1)
+
+    def test_k_too_large(self, rng):
+        from eigenex_tpu import svds
+        from eigenex_tpu.utils.exceptions import EigenexError
+
+        with pytest.raises(EigenexError):
+            svds(rng.standard_normal((6, 4)), k=5)
