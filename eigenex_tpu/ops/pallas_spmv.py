@@ -254,8 +254,15 @@ def _spmm_kernel(kmax: int, cols_ref, data_ref, x_ref, y_ref):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def bsr_matmat_pallas(bsr, X: jax.Array, interpret: bool = False) -> jax.Array:
-    """Y = A @ X (dense multi-vector RHS) via Pallas."""
+    """Y = A @ X (dense multi-vector RHS) via Pallas.
+
+    Returns the ACCUMULATION dtype (f32 for bf16 storage) like every
+    other matvec/matmat path, so solver chains keep a stable carry type.
+    Note: at p≳8 columns the matmat is compute-bound, not HBM-bound —
+    measured on v5e the XLA einsum path wins (366.8 vs this kernel; see
+    BASELINE.md), so ``BSRMatrix.matmat`` stays on XLA by default."""
     nbr, kmax, bm, bn = bsr.data.shape
+    out_dtype = bsr._acc_dtype
     if bsr.dtype not in (jnp.float32, jnp.bfloat16) or bm % 8 or bn % 128:
         return bsr.matmat(X)
     nbc = bsr.n_block_cols
@@ -279,7 +286,7 @@ def bsr_matmat_pallas(bsr, X: jax.Array, interpret: bool = False) -> jax.Array:
     )
     y = pl.pallas_call(
         partial(_spmm_kernel, kmax),
-        out_shape=jax.ShapeDtypeStruct((nbr, bm, p), bsr.dtype),
+        out_shape=jax.ShapeDtypeStruct((nbr, bm, p), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

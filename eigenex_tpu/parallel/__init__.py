@@ -7,5 +7,7 @@ from .distributed import (
     halo_matvec,
     pad_bsr_for_mesh,
     split_bsr_halo,
+    split_sym_bsr_halo,
+    sym_halo_matvec,
 )
 from .mesh import ROWS, initialize_multihost, make_mesh, replicated_sharding, row_sharding

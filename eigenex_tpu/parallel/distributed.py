@@ -7,7 +7,7 @@ the same axis, Gram-Schmidt inner products complete with ``lax.psum``,
 and each matvec reconstitutes the needed x segments with collectives
 lowered by XLA onto ICI.
 
-Three matvec strategies:
+Four matvec strategies:
 
 - **all-gather** (general sparsity, row-partitioned): ``lax.all_gather``
   the x shards, then local BSR-ELL SpMV.  Correctness baseline;
@@ -26,6 +26,13 @@ Three matvec strategies:
   Hamiltonians): exchange only the boundary block segments via
   ``lax.ppermute`` ring shifts, overlapped by XLA with the local
   diagonal-part SpMV (SURVEY.md §5's ring-attention analog).
+- **symmetric halo** (:func:`sym_halo_matvec`): the half-HBM-traffic
+  diag+upper storage of :class:`~eigenex_tpu.sparse.sym_bsr.SymBSRMatrix`
+  on the mesh — forward x halo plus a REVERSE halo of Bᴴx partial-y
+  contributions, same wire volume as "halo" but each off-diagonal
+  boundary block is read once and applied to both triangles (the ~1.4×
+  single-chip kernel win carried into weak scaling; no shard ever
+  stores the global lower triangle).
 
 The local SpMV inside every mode can run through the Pallas BSR kernel
 (``use_pallas=True``; "interpret" for CPU-mesh tests) instead of the
@@ -70,7 +77,9 @@ __all__ = [
     "DistributedThickRestartLanczosEigenSolver",
     "DistributedKrylovSchurArnoldiSolver",
     "halo_matvec",
+    "sym_halo_matvec",
     "split_bsr_halo",
+    "split_sym_bsr_halo",
     "split_bsr_colpanels",
 ]
 
@@ -179,6 +188,15 @@ def _build_local_operator(mode, op_arrays, axis_name, bn, n_total, dtype, use_pa
             (n_total, n_total),
             dtype,
         )
+    if mode == "sym_halo":
+        diag, ind, inc, rd, rc = op_arrays
+        nbr_local, bm, _ = diag.shape
+        return LinearOperator(
+            partial(_sym_halo_mv, axis_name=axis_name, bn=bn, use_pallas=use_pallas),
+            (diag, ind, inc, rd, rc),
+            (nbr_local * bm, n_total),
+            dtype,
+        )
     dd, dc, ld, lc, rd, rc = op_arrays
     nbr_local, _, bm, _ = dd.shape
     return LinearOperator(
@@ -198,7 +216,7 @@ def _get_dist_chunk(
     if fn is not None:
         return fn
 
-    n_op_args = 6 if mode == "halo" else 2
+    n_op_args = {"halo": 6, "sym_halo": 5}.get(mode, 2)
 
     def body(*args):
         op_arrays = args[:n_op_args]
@@ -313,10 +331,14 @@ def distributed_lanczos_steps(
 
     ``matvec_mode``: "allgather" (general sparsity), "colsplit" (general
     sparsity, column panels + ``psum_scatter`` — the reduce_scatter
-    dual) or "halo" (neighbor-banded operators: ppermute boundary
+    dual), "halo" (neighbor-banded operators: ppermute boundary
     exchange overlapped with the local diagonal SpMV — BASELINE config
-    5's halo-overlapped SpMV).  Halo requires the operator's column
-    blocks to reach only the adjacent shards (checked at split time).
+    5's halo-overlapped SpMV) or "sym_halo" (neighbor-banded SYMMETRIC
+    operators in half-HBM-traffic diag+upper storage: forward x halo +
+    reverse Bᴴx-contribution halo, same wire volume as "halo"; pass a
+    ``SymBSRMatrix`` or let the BSR be packed automatically).  Halo
+    modes require the operator's column blocks to reach only the
+    adjacent shards (checked at split time).
 
     ``use_pallas``: run the shard-local SpMV through the Pallas BSR
     kernel ("interpret" for CPU-mesh tests).
@@ -329,7 +351,7 @@ def distributed_lanczos_steps(
         )
     if bsr.shape[0] != bsr.shape[1]:
         raise EigenexError("Lanczos requires a square operator")
-    if matvec_mode not in ("allgather", "colsplit", "halo"):
+    if matvec_mode not in ("allgather", "colsplit", "halo", "sym_halo"):
         raise EigenexError(f"unknown matvec_mode {matvec_mode!r}")
     rdt = real_dtype_of(bsr.dtype)
     if breakdown_threshold is None:
@@ -345,6 +367,15 @@ def distributed_lanczos_steps(
     if matvec_mode == "halo":
         diag, left, right = halo_parts if halo_parts is not None else split_bsr_halo(bsr, nd)
         op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
+    elif matvec_mode == "sym_halo":
+        if halo_parts is not None:
+            diag, inp, right = halo_parts
+        else:
+            from ..sparse.sym_bsr import SymBSRMatrix, sym_bsr_from_bsr
+
+            sym = bsr if isinstance(bsr, SymBSRMatrix) else sym_bsr_from_bsr(bsr)
+            diag, inp, right = split_sym_bsr_halo(sym, nd)
+        op_arrays = (diag, inp[0], inp[1], right[0], right[1])
     elif matvec_mode == "colsplit":
         pd, pc = halo_parts if halo_parts is not None else split_bsr_colpanels(bsr, nd)
         op_arrays = (pd, pc)
@@ -385,6 +416,11 @@ class _DistributedBSRSolverMixin:
         nd = mesh.shape[axis_name]
         if matvec_mode == "halo":
             self._halo_parts = split_bsr_halo(bsr, nd)
+        elif matvec_mode == "sym_halo":
+            from ..sparse.sym_bsr import SymBSRMatrix, sym_bsr_from_bsr
+
+            sym = bsr if isinstance(bsr, SymBSRMatrix) else sym_bsr_from_bsr(bsr)
+            self._halo_parts = split_sym_bsr_halo(sym, nd)
         elif matvec_mode == "colsplit":
             self._halo_parts = split_bsr_colpanels(bsr, nd)
         else:
@@ -464,7 +500,7 @@ def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode, use_pallas=Fal
     fn = _DIST_ARNOLDI_CACHE.get(key)
     if fn is not None:
         return fn
-    n_op_args = 6 if mode == "halo" else 2
+    n_op_args = {"halo": 6, "sym_halo": 5}.get(mode, 2)
 
     def body(*args):
         op_arrays = args[:n_op_args]
@@ -538,6 +574,15 @@ def distributed_arnoldi_steps(
     if matvec_mode == "halo":
         diag, left, right = halo_parts if halo_parts is not None else split_bsr_halo(bsr, nd)
         op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
+    elif matvec_mode == "sym_halo":
+        if halo_parts is not None:
+            diag, inp, right = halo_parts
+        else:
+            from ..sparse.sym_bsr import SymBSRMatrix, sym_bsr_from_bsr
+
+            sym = bsr if isinstance(bsr, SymBSRMatrix) else sym_bsr_from_bsr(bsr)
+            diag, inp, right = split_sym_bsr_halo(sym, nd)
+        op_arrays = (diag, inp[0], inp[1], right[0], right[1])
     elif matvec_mode == "colsplit":
         pd, pc = halo_parts if halo_parts is not None else split_bsr_colpanels(bsr, nd)
         op_arrays = (pd, pc)
@@ -689,6 +734,122 @@ def split_bsr_halo(bsr: BSRMatrix, n_shards: int):
                 c[r, slot] = lc
         out[p] = (jnp.asarray(d), jnp.asarray(c))
     return out["diag"], out["left"], out["right"]
+
+
+def _local_sym_matvec(diag, ud, uc, x, use_pallas):
+    """Shard-local SYMMETRIC matvec (diag + in-panel upper applied on
+    both triangles) — XLA scatter-add path or the half-traffic Pallas
+    kernel.  Runs inside shard_map."""
+    from ..sparse.sym_bsr import SymBSRMatrix
+
+    n_local = diag.shape[0] * diag.shape[1]
+    sym_local = SymBSRMatrix(diag, ud, uc, (n_local, n_local))
+    if use_pallas:
+        from ..ops.pallas_spmv import sym_bsr_matvec_pallas
+
+        return sym_bsr_matvec_pallas(
+            sym_local, x, interpret=use_pallas == "interpret"
+        )
+    return sym_local._xla_matvec(x)
+
+
+def sym_halo_matvec(
+    diag, ud, uc, rd, rc, x_local, *, axis_name: str = ROWS, bn: int,
+    use_pallas=False,
+):
+    """Symmetric halo-exchange SpMV: the half-HBM-traffic layout of
+    :class:`~eigenex_tpu.sparse.sym_bsr.SymBSRMatrix` carried into the
+    row-partitioned mesh.
+
+    Each shard stores its diagonal blocks, the in-panel strictly-upper
+    blocks, and the boundary upper blocks reaching the RIGHT neighbor
+    (``split_sym_bsr_halo``).  A boundary block B at (r local, c in the
+    next panel) contributes twice from one HBM read:
+
+    - ``y[r] += B·x_next[c]`` — needs the right neighbor's x shard
+      (forward ppermute, as in :func:`halo_matvec`);
+    - ``y_next[c] += Bᴴ·x[r]`` — computed HERE from local x, then
+      shipped one step right (REVERSE ppermute of the partial-y
+      segment) and added by the owner.
+
+    Wire volume per matvec is 2·n_local per device — identical to the
+    full-storage halo mode — but the dominant HBM block traffic is
+    halved, which on v5e lifts the local SpMV ~1.4x (BASELINE.md).  The
+    lower triangle of the global matrix is never stored anywhere on the
+    mesh.  Runs inside shard_map.
+    """
+    n_dev = lax.psum(1, axis_name)
+    right_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    # x of the right neighbor arrives by shifting every shard one left
+    x_from_right = lax.ppermute(x_local, axis_name, left_perm)
+    acc = _acc_dtype_of(diag.dtype)
+
+    # in-panel symmetric part: needs no remote data — XLA overlaps the
+    # ppermutes above/below with this compute
+    y = _local_sym_matvec(diag, ud, uc, x_local, use_pallas)
+
+    # boundary: y[r] += B x_next[c]
+    y = y + _local_ell_spmv(rd, rc, x_from_right, False)
+
+    # reverse contribution y_next[c] += Bᴴ x[r]; padding slots (col 0,
+    # zero blocks) scatter zeros — harmless
+    xb = x_local.reshape(-1, bn)
+    rdh = jnp.conj(rd) if jnp.issubdtype(rd.dtype, jnp.complexfloating) else rd
+    contrib = jnp.einsum(
+        "rkij,ri->rkj", rdh, xb.astype(rd.dtype), preferred_element_type=acc
+    )
+    nbc_next = x_from_right.shape[0] // bn
+    yc = jnp.zeros((nbc_next, bn), acc).at[rc].add(contrib.astype(acc)).reshape(-1)
+    y = y + lax.ppermute(yc, axis_name, right_perm)
+    return y
+
+
+def _sym_halo_mv(p, x, *, axis_name, bn, use_pallas=False):
+    return sym_halo_matvec(*p, x, axis_name=axis_name, bn=bn, use_pallas=use_pallas)
+
+
+def split_sym_bsr_halo(sym, n_shards: int):
+    """Host-side split of a :class:`SymBSRMatrix` for the sym_halo mode:
+    (diag_data, (in_data, in_cols), (right_data, right_cols)) with
+    shard-local block-column ids.  Upper blocks must lie in the own or
+    the immediately-right panel (c > r always holds for upper storage),
+    otherwise raises — use all-gather then."""
+    nbr = sym.n_block_rows
+    if nbr % n_shards:
+        raise EigenexError("pad the operator before split_sym_bsr_halo")
+    rows_per = nbr // n_shards
+    ud = np.asarray(sym.upper_data)
+    uc = np.asarray(sym.upper_cols)
+    ku = uc.shape[1]
+    bm, bn = sym.block_shape
+    nz = ud.reshape(nbr, ku, -1).any(axis=2)
+    in_rows: list[list[tuple]] = [[] for _ in range(nbr)]
+    right_rows: list[list[tuple]] = [[] for _ in range(nbr)]
+    for r, k in zip(*np.where(nz)):
+        c = int(uc[r, k])
+        shard, src = r // rows_per, c // rows_per
+        if src == shard:
+            in_rows[r].append((c % rows_per, ud[r, k]))
+        elif src == shard + 1:
+            right_rows[r].append((c % rows_per, ud[r, k]))
+        else:
+            raise EigenexError(
+                f"upper block ({int(r)}, {c}) reaches shard {src} (own "
+                f"{shard}) — not neighbor-banded; use the all-gather matvec"
+            )
+
+    def pack(rows_list):
+        kk = max(max((len(b) for b in rows_list), default=0), 1)
+        d = np.zeros((nbr, kk, bm, bn), ud.dtype)
+        c = np.zeros((nbr, kk), np.int32)
+        for r, bucket in enumerate(rows_list):
+            for slot, (lc, blk) in enumerate(bucket):
+                d[r, slot] = blk
+                c[r, slot] = lc
+        return jnp.asarray(d), jnp.asarray(c)
+
+    return sym.diag_data, pack(in_rows), pack(right_rows)
 
 
 def split_bsr_colpanels(bsr: BSRMatrix, n_shards: int):

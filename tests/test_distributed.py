@@ -352,3 +352,109 @@ class TestPallasLocalSpMV:
             np.asarray(sx.alpha), np.asarray(sp.alpha), atol=1e-5
         )
         np.testing.assert_allclose(np.asarray(sx.beta), np.asarray(sp.beta), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# sym_halo: half-HBM-traffic symmetric storage on the mesh (round 2)
+# ---------------------------------------------------------------------------
+class TestSymHalo:
+    def _sym_banded(self, nbr=64, bm=4, dtype=np.float64, seed=7):
+        rng = np.random.default_rng(seed)
+        n = nbr * bm
+        diag = rng.standard_normal((nbr, bm, bm)).astype(dtype)
+        off = rng.standard_normal((nbr - 1, bm, bm)).astype(dtype)
+        A = np.zeros((n, n), dtype)
+        for r in range(nbr):
+            A[r*bm:(r+1)*bm, r*bm:(r+1)*bm] = (diag[r] + diag[r].T) / 2
+            if r + 1 < nbr:
+                A[r*bm:(r+1)*bm, (r+1)*bm:(r+2)*bm] = off[r]
+                A[(r+1)*bm:(r+2)*bm, r*bm:(r+1)*bm] = off[r].T
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+        return bsr_from_dense(A, (bm, bm)), A
+
+    def test_lanczos_bit_matches_single_device(self, mesh):
+        from eigenex_tpu.parallel.distributed import distributed_lanczos_steps
+        from eigenex_tpu.solvers.lanczos import init_lanczos_state, lanczos_steps
+
+        bsr, A = self._sym_banded()
+        op = bsr.as_linear_operator(use_pallas=False)
+        m = 20
+        s_ref = lanczos_steps(op, init_lanczos_state(op, m, seed=0), m)
+        s_dist = distributed_lanczos_steps(
+            bsr, init_lanczos_state(op, m, seed=0), m, mesh,
+            matvec_mode="sym_halo",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_dist.alpha), np.asarray(s_ref.alpha), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_dist.beta), np.asarray(s_ref.beta), atol=1e-11
+        )
+
+    def test_matvec_equality_shardmap(self, mesh):
+        from eigenex_tpu.parallel.distributed import (
+            split_sym_bsr_halo, sym_halo_matvec,
+        )
+        from eigenex_tpu.sparse.sym_bsr import sym_bsr_from_bsr
+
+        bsr, A = self._sym_banded(nbr=32, bm=4)
+        sym = sym_bsr_from_bsr(bsr, check=True, atol=1e-12)
+        diag, inp, right = split_sym_bsr_halo(sym, 8)
+        x = np.random.default_rng(1).standard_normal(bsr.shape[0])
+        bm = 4
+
+        f = shard_map(
+            lambda d, i0, i1, r0, r1, xl: sym_halo_matvec(
+                d, i0, i1, r0, r1, xl, axis_name="rows", bn=bm
+            ),
+            mesh=mesh,
+            in_specs=(P("rows"),) * 5 + (P("rows"),),
+            out_specs=P("rows"),
+        )
+        y = f(diag, inp[0], inp[1], right[0], right[1], jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), A @ x, atol=1e-10)
+
+    def test_hermitian_complex(self, mesh):
+        from eigenex_tpu.parallel.distributed import (
+            split_sym_bsr_halo, sym_halo_matvec,
+        )
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+        from eigenex_tpu.sparse.sym_bsr import sym_bsr_from_bsr
+
+        rng = np.random.default_rng(3)
+        nbr, bm = 16, 4
+        n = nbr * bm
+        A = np.zeros((n, n), np.complex128)
+        for r in range(nbr):
+            D = rng.standard_normal((bm, bm)) + 1j * rng.standard_normal((bm, bm))
+            A[r*bm:(r+1)*bm, r*bm:(r+1)*bm] = (D + D.conj().T) / 2
+            if r + 1 < nbr:
+                B = rng.standard_normal((bm, bm)) + 1j * rng.standard_normal((bm, bm))
+                A[r*bm:(r+1)*bm, (r+1)*bm:(r+2)*bm] = B
+                A[(r+1)*bm:(r+2)*bm, r*bm:(r+1)*bm] = B.conj().T
+        sym = sym_bsr_from_bsr(bsr_from_dense(A, (bm, bm)), check=True, atol=1e-12)
+        diag, inp, right = split_sym_bsr_halo(sym, 8)
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        f = shard_map(
+            lambda d, i0, i1, r0, r1, xl: sym_halo_matvec(
+                d, i0, i1, r0, r1, xl, axis_name="rows", bn=bm
+            ),
+            mesh=mesh,
+            in_specs=(P("rows"),) * 5 + (P("rows"),),
+            out_specs=P("rows"),
+        )
+        y = f(diag, inp[0], inp[1], right[0], right[1], jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(y), A @ x, atol=1e-10)
+
+    def test_rejects_wide_band(self):
+        from eigenex_tpu.parallel.distributed import split_sym_bsr_halo
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+        from eigenex_tpu.sparse.sym_bsr import sym_bsr_from_bsr
+        from eigenex_tpu.utils.exceptions import EigenexError
+
+        n = 32
+        A = np.eye(n)
+        A[0, 20] = A[20, 0] = 1.0  # reaches shard 5 from shard 0
+        sym = sym_bsr_from_bsr(bsr_from_dense(A, (4, 4)))
+        with pytest.raises(EigenexError):
+            split_sym_bsr_halo(sym, 8)
