@@ -78,6 +78,78 @@ def main():
             b2[k] = min(b2[k], time.perf_counter() - t0)
     per_it = (b2[10] - b2[2]) / 8
     print(f"# Lanczos (full reorth, m=32): {per_it*1e3:.2f} ms/iter", file=sys.stderr)
+
+    # --- symmetric storage: 2x the rows in the SAME HBM footprint ------
+    # (diag + single upper off-diagonal per block row, built on device;
+    # each upper block applies to both triangles).  At this n the Pallas
+    # sym kernel's VMEM-resident x/y no longer fit, so matvec runs the
+    # XLA scatter-add sym path — still half the HBM block traffic; the
+    # kernel path at scale is the distributed sym_halo mode.
+    del bsr, data, cols, op, s0
+    from eigenex_tpu.sparse.sym_bsr import SymBSRMatrix
+
+    nbr_s = 2 * nbr  # 131072 block rows -> n = 16.8M
+    n_s = nbr_s * bm
+    diag = jax.random.normal(jax.random.PRNGKey(2), (nbr_s, bm, bm), jnp.bfloat16)
+    upper = jax.random.normal(jax.random.PRNGKey(3), (nbr_s, 1, bm, bm), jnp.bfloat16)
+    # last block row has no upper neighbor: zero block at padding col 0
+    upper = upper.at[-1].set(0)
+    ucols = jnp.minimum(jnp.arange(nbr_s, dtype=jnp.int32), nbr_s - 1)[:, None]
+    ucols = ucols.at[:-1, 0].set(jnp.arange(1, nbr_s, dtype=jnp.int32))
+    ucols = ucols.at[-1, 0].set(0)
+    sym = SymBSRMatrix(diag, upper, ucols, (n_s, n_s))
+    nnz_eff = sym.nnz_applied  # both triangles
+    xs = jax.random.normal(jax.random.PRNGKey(4), (n_s,), jnp.float32)
+    print(
+        f"# sym: n={n_s:,} rows, {sym.nnz_stored*2/1e9:.1f} GB stored bf16, "
+        f"{nnz_eff/1e9:.2f}G effective nnz",
+        file=sys.stderr,
+    )
+
+    @jax.jit
+    def chain_s(s, v, k):
+        def body(_, v):
+            y = s.matvec(v)
+            return (y / jnp.linalg.norm(y)).astype(jnp.float32)
+
+        out = jax.lax.fori_loop(0, k, body, v)
+        return jnp.vdot(out, out)
+
+    for k in (k1, k2):
+        float(chain_s(sym, xs, k))
+    bs = {k1: np.inf, k2: np.inf}
+    for _ in range(3):
+        for k in (k1, k2):
+            t0 = time.perf_counter()
+            float(chain_s(sym, xs, k))
+            bs[k] = min(bs[k], time.perf_counter() - t0)
+    per_s = (bs[k2] - bs[k1]) / (k2 - k1)
+    print(
+        f"# sym SpMV: {per_s*1e3:.2f} ms ({nnz_eff/per_s/1e9:.1f} effective Gnnz/s)",
+        file=sys.stderr,
+    )
+
+    ops = sym.as_linear_operator()
+    s0s = init_lanczos_state(ops, 32, seed=0)
+
+    def run_s(k):
+        s = lanczos_steps(ops, s0s, k)
+        return float(s.beta[k - 1])
+
+    for k in (2, 10):
+        run_s(k)
+    b3 = {2: np.inf, 10: np.inf}
+    for _ in range(2):
+        for k in (2, 10):
+            t0 = time.perf_counter()
+            run_s(k)
+            b3[k] = min(b3[k], time.perf_counter() - t0)
+    per_it_s = (b3[10] - b3[2]) / 8
+    print(
+        f"# sym Lanczos (full reorth, m=32, n=16.8M): {per_it_s*1e3:.2f} ms/iter",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -87,6 +159,9 @@ def main():
                 "n_rows": n,
                 "hbm_gb": nnz * 2 / 1e9,
                 "lanczos_iter_ms": per_it * 1e3,
+                "sym_n_rows": n_s,
+                "sym_effective_nnz_per_s": nnz_eff / per_s,
+                "sym_lanczos_iter_ms": per_it_s * 1e3,
             }
         )
     )

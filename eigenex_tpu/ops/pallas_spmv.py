@@ -124,15 +124,19 @@ def bsr_matvec_pallas(bsr, x: jax.Array, interpret: bool = False) -> jax.Array:
     return y.reshape(bsr.shape[0])
 
 
-def _pick_sym_rows_per(nbr: int, ku: int, bm: int, bn: int, itemsize: int) -> int:
+def _pick_sym_rows_per(
+    nbr: int, ku: int, bm: int, bn: int, itemsize: int, resident_bytes: int = 0
+) -> int:
     """Largest block-row count per program that divides ``nbr`` and whose
-    double-buffered diag+upper stream stays under the ~16 MB scoped-VMEM
-    limit (12 MB budget leaves room for the resident x and y panels)."""
-    budget = 12 * 2**20
+    double-buffered diag+upper stream PLUS the VMEM-resident x/y panels
+    stays under the ~16 MB scoped-VMEM limit (14 MB budget for headroom).
+    Returns 0 when even one row per program cannot fit (caller falls back
+    to the XLA path)."""
+    budget = 14 * 2**20 - resident_bytes
     for r in (64, 32, 16, 8, 4, 2, 1):
         if nbr % r == 0 and 2 * r * (1 + ku) * bm * bn * itemsize <= budget:
             return r
-    return 1
+    return 0
 
 
 def _sym_spmv_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_ref, y_ref):
@@ -190,12 +194,26 @@ def sym_bsr_matvec_pallas(
     exceeds scoped VMEM).  Falls back to the container's XLA path
     off-TPU or for unsupported dtypes/shapes."""
     nbr, ku, bm, bn = sym.upper_data.shape
-    R = _pick_sym_rows_per(nbr, ku, bm, bn, sym.upper_data.dtype.itemsize) if (
-        rows_per is None
-    ) else rows_per
+    # the kernel keeps the FULL x and y panels VMEM-resident (f32 each;
+    # the y accumulator receives cross-row scatter updates), so the
+    # rows-per-program pick must fit stream + panels jointly; past
+    # ~n=1.7M rows nothing fits and we fall back to the XLA scatter-add
+    # path (row-partition over a mesh via parallel.distributed sym_halo
+    # to stay on this kernel at scale)
+    resident = 8 * sym.shape[0]
+    R = _pick_sym_rows_per(
+        nbr, ku, bm, bn, sym.upper_data.dtype.itemsize, resident
+    ) if rows_per is None else rows_per
     if not interpret and jax.default_backend() != "tpu":
         return sym._xla_matvec(x)
-    if sym.dtype not in (jnp.float32, jnp.bfloat16) or nbr % R or bm % 8 or bn % 128 or bm != bn:
+    if (
+        R <= 0
+        or sym.dtype not in (jnp.float32, jnp.bfloat16)
+        or nbr % R
+        or bm % 8
+        or bn % 128
+        or bm != bn
+    ):
         return sym._xla_matvec(x)
     nbc = sym.shape[1] // bn
     x2 = x.astype(jnp.float32).reshape(nbc, bn)
@@ -263,6 +281,8 @@ def bsr_matmat_pallas(bsr, X: jax.Array, interpret: bool = False) -> jax.Array:
     BASELINE.md), so ``BSRMatrix.matmat`` stays on XLA by default."""
     nbr, kmax, bm, bn = bsr.data.shape
     out_dtype = bsr._acc_dtype
+    if not interpret and jax.default_backend() != "tpu":
+        return bsr.matmat(X)
     if bsr.dtype not in (jnp.float32, jnp.bfloat16) or bm % 8 or bn % 128:
         return bsr.matmat(X)
     nbc = bsr.n_block_cols

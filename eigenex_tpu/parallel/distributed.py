@@ -97,9 +97,9 @@ def _padding_safe_v0(orig_n: int, padded_n: int, dtype, seed: int):
     return jnp.zeros((padded_n,), dtype).at[:orig_n].set(v)
 
 
-def pad_bsr_for_mesh(bsr: BSRMatrix, n_shards: int) -> BSRMatrix:
+def pad_bsr_for_mesh(bsr, n_shards: int):
     """Zero-pad block rows/cols so the row count divides evenly over the
-    mesh.
+    mesh.  Accepts a :class:`BSRMatrix` or a :class:`SymBSRMatrix`.
 
     The padding rows are structurally zero, which adds eigenvalue 0 with
     multiplicity = padding size to the padded operator — when targeting
@@ -107,6 +107,22 @@ def pad_bsr_for_mesh(bsr: BSRMatrix, n_shards: int) -> BSRMatrix:
     positive-definite operator), start the iteration from a vector with
     no padding support (the distributed solvers do this automatically;
     see :func:`_padding_safe_v0`)."""
+    from ..sparse.sym_bsr import SymBSRMatrix
+
+    if isinstance(bsr, SymBSRMatrix):
+        nbr = bsr.n_block_rows
+        if nbr % n_shards == 0:
+            return bsr
+        pad = n_shards - nbr % n_shards
+        bm, bn = bsr.block_shape
+        ku = bsr.upper_cols.shape[1]
+        diag = jnp.concatenate(
+            [bsr.diag_data, jnp.zeros((pad, bm, bn), bsr.diag_data.dtype)]
+        )
+        ud = jnp.concatenate([bsr.upper_data, jnp.zeros((pad, ku, bm, bn), bsr.dtype)])
+        uc = jnp.concatenate([bsr.upper_cols, jnp.zeros((pad, ku), jnp.int32)])
+        m = bsr.shape[0] + pad * bm
+        return SymBSRMatrix(diag, ud, uc, (m, m))
     nbr = bsr.n_block_rows
     if nbr % n_shards == 0:
         return bsr
@@ -413,12 +429,18 @@ class _DistributedBSRSolverMixin:
         self.axis_name = axis_name
         self.matvec_mode = matvec_mode
         self.use_pallas = use_pallas
+        self._dist_orig_n = orig_n
         nd = mesh.shape[axis_name]
+        from ..sparse.sym_bsr import SymBSRMatrix, sym_bsr_from_bsr
+
+        if isinstance(bsr, SymBSRMatrix) and matvec_mode != "sym_halo":
+            raise EigenexError(
+                "a SymBSRMatrix operand requires matvec_mode='sym_halo' — "
+                "the other modes need full-storage block rows"
+            )
         if matvec_mode == "halo":
             self._halo_parts = split_bsr_halo(bsr, nd)
         elif matvec_mode == "sym_halo":
-            from ..sparse.sym_bsr import SymBSRMatrix, sym_bsr_from_bsr
-
             sym = bsr if isinstance(bsr, SymBSRMatrix) else sym_bsr_from_bsr(bsr)
             self._halo_parts = split_sym_bsr_halo(sym, nd)
         elif matvec_mode == "colsplit":
@@ -429,6 +451,19 @@ class _DistributedBSRSolverMixin:
             self._initial_vector = _padding_safe_v0(
                 orig_n, bsr.shape[0], bsr.dtype, self.options.seed
             )
+
+    def compute(self, *args, **kwargs):
+        """Run the base solver, then slice Ritz vectors back to the
+        caller's ORIGINAL length — pad_bsr_for_mesh may have zero-padded
+        rows, and the padding coordinates of every Krylov iterate are
+        exactly zero (padding-safe start vector + structurally-zero
+        rows), so truncation loses nothing."""
+        res = super().compute(*args, **kwargs)
+        n = getattr(self, "_dist_orig_n", None)
+        ev = getattr(res, "eigenvectors", None)
+        if n is not None and ev is not None and ev.shape[0] != n:
+            res.eigenvectors = ev[:n]
+        return res
 
     def _run_arnoldi_chunk(self, op, state, num_steps, breakdown_threshold):
         if num_steps <= 0:

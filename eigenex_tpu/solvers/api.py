@@ -64,7 +64,10 @@ def _to_bsr_for_mesh(A, coo, bsr, block_shape):
         return bsr
     if coo is not None:
         if block_shape is None:
-            block_shape = (8, 128) if jax.default_backend() == "tpu" else (4, 4)
+            # SQUARE blocks: rows and cols pad identically, so the padded
+            # operator stays square for the Lanczos/Arnoldi drivers (a
+            # rectangular (8,128) default padded most n to m != n)
+            block_shape = (8, 8) if jax.default_backend() == "tpu" else (4, 4)
         return bsr_from_coo_arrays(
             np.asarray(coo.row),
             np.asarray(coo.col),
@@ -136,6 +139,10 @@ def eigsh(
             axis_name=axis_name,
             matvec_mode=matvec_mode,
         ).compute()
+        if res.eigenvectors is not None and res.eigenvectors.shape[0] != n:
+            # BSR conversion may have padded the operand before the mesh
+            # padding the driver already undoes — slice to the true n
+            res.eigenvectors = res.eigenvectors[:n]
         return _maybe_refine_hermitian(res, coo, refine)
 
     if sigma is not None:
@@ -274,6 +281,8 @@ def eigs(
             axis_name=mesh.axis_names[0],
             matvec_mode=matvec_mode,
         ).compute()
+        if res.eigenvectors is not None and res.eigenvectors.shape[0] != n:
+            res.eigenvectors = res.eigenvectors[:n]
         return _maybe_refine_general(res, coo, refine)
 
     if sigma is not None:
@@ -390,6 +399,7 @@ def svds(
             ThickRestartOptions(
                 max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
                 max_subspace=m, max_restarts=max_restarts, seed=seed,
+                compute_eigenvectors=return_singular_vectors,
             ),
         ).compute()
     theta = np.maximum(np.asarray(res.eigenvalues)[::-1], 0.0)  # descending

@@ -184,7 +184,7 @@ def eigs_realified(
     if refine and kept:
         from ..solvers.refine import general_inverse_iteration_refine
 
-        iters = int(refine) if not isinstance(refine, bool) else 3
+        iters = int(refine) if not isinstance(refine, bool) else 60
         lam_out, X_out, res_out = general_inverse_iteration_refine(
             coo, X_out, lam_out, iters=iters
         )

@@ -209,8 +209,10 @@ def sym_bsr_from_bsr(bsr: BSRMatrix, *, check: bool = False, atol: float = 0.0) 
         lower: dict[tuple, np.ndarray] = {}
         for r, k in zip(*np.where(nz & (cols < rows))):
             lower[(int(r), int(cols[r, k]))] = data[r, k]
+        upper_keys = set()
         for r, k in zip(*np.where(is_upper)):
             c = int(cols[r, k])
+            upper_keys.add((int(r), c))
             mirror = lower.get((c, int(r)))
             mirror = 0 if mirror is None else mirror
             want = data[r, k].conj().T if herm else data[r, k].T
@@ -218,6 +220,16 @@ def sym_bsr_from_bsr(bsr: BSRMatrix, *, check: bool = False, atol: float = 0.0) 
                 raise EigenexError(
                     f"matrix is not symmetric at block ({r}, {c}); "
                     "sym_bsr_from_bsr would silently change it"
+                )
+        # the dropped blocks are the LOWER ones — each must have an upper
+        # mirror, else e.g. a lower-triangle-only store would silently
+        # become diagonal-only
+        for (r, c) in lower:
+            if (c, r) not in upper_keys:
+                raise EigenexError(
+                    f"lower block ({r}, {c}) has no upper mirror — the "
+                    "matrix is not symmetric (or is stored lower-triangle-"
+                    "only, which sym_bsr_from_bsr does not accept)"
                 )
         dsym = np.conj(np.swapaxes(diag, 1, 2)) if herm else np.swapaxes(diag, 1, 2)
         bad = np.where(~np.isclose(diag, dsym, atol=atol, rtol=0).all(axis=(1, 2)))[0]

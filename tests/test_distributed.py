@@ -458,3 +458,30 @@ class TestSymHalo:
         sym = sym_bsr_from_bsr(bsr_from_dense(A, (4, 4)))
         with pytest.raises(EigenexError):
             split_sym_bsr_halo(sym, 8)
+
+    def test_sym_operand_driver_and_padding(self, mesh):
+        # SymBSRMatrix operand + non-divisible block rows: pad path and
+        # eigenvector truncation to the original length
+        from eigenex_tpu.parallel.distributed import (
+            DistributedThickRestartLanczosEigenSolver,
+        )
+        from eigenex_tpu.solvers.restart import ThickRestartOptions
+        from eigenex_tpu.sparse.sym_bsr import sym_bsr_from_bsr
+        from eigenex_tpu.utils.exceptions import EigenexError
+
+        bsr, A = self._sym_banded(nbr=30, bm=4)  # 30 % 8 != 0
+        sym = sym_bsr_from_bsr(bsr)
+        res = DistributedThickRestartLanczosEigenSolver(
+            sym, mesh,
+            ThickRestartOptions(max_eigenvalues=2, tolerance=1e-12,
+                                max_subspace=30, max_restarts=60),
+            matvec_mode="sym_halo",
+        ).compute()
+        ref = np.linalg.eigvalsh(A)[:2]
+        np.testing.assert_allclose(np.asarray(res.eigenvalues), ref, atol=1e-9)
+        assert res.eigenvectors.shape[0] == A.shape[0]  # truncated to orig n
+        with pytest.raises(EigenexError):
+            DistributedThickRestartLanczosEigenSolver(
+                sym, mesh, ThickRestartOptions(max_eigenvalues=2),
+                matvec_mode="allgather",
+            )

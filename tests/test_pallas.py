@@ -151,3 +151,23 @@ class TestSymBSR:
         ).compute()
         ref = np.linalg.eigvalsh(np.asarray(bsr.to_dense()))
         np.testing.assert_allclose(res.eigenvalues, ref[:2], atol=1e-9)
+
+    def test_check_rejects_lower_only_storage(self):
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+        from eigenex_tpu.utils.exceptions import EigenexError
+
+        S = np.ones((8, 8)) + 7 * np.eye(8)
+        low = np.tril(S)  # symmetric matrix stored lower-triangle-only
+        bsr = bsr_from_dense(low, (4, 4))
+        with pytest.raises(EigenexError):
+            sym_bsr_from_bsr(bsr, check=True)
+
+    def test_vmem_guard_falls_back(self):
+        # joint stream+panel budget: huge resident panels -> 0 (XLA path)
+        from eigenex_tpu.ops.pallas_spmv import _pick_sym_rows_per
+
+        assert _pick_sym_rows_per(2048, 1, 128, 128, 2) == 64
+        assert _pick_sym_rows_per(2048, 1, 128, 128, 2, resident_bytes=8 * 16_800_000) == 0
+        # mid-size: picker shrinks R rather than overflowing
+        r = _pick_sym_rows_per(8192, 1, 128, 128, 2, resident_bytes=8 * 1_000_000)
+        assert 0 < r < 64
