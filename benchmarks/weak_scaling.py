@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--devices", type=int, nargs="*", default=None)
     ap.add_argument("--block-rows-per-device", type=int, default=256)
     ap.add_argument("--bm", type=int, default=128)
-    ap.add_argument("--mode", choices=["allgather", "halo"], default="halo")
+    ap.add_argument("--mode", choices=["allgather", "halo", "colsplit", "sym_halo"], default="halo")
     args = ap.parse_args()
 
     if args.cpu:

@@ -29,10 +29,14 @@ import jax.numpy as jnp
 from ..core.indices import AddIndices
 from ..solvers.lanczos import LanczosEigenSolver, LanczosOptions
 from ..sparse.coo import COOMatrix
+from ..utils.exceptions import EigenexError
 from .block_tensor import BlockTensor
 
 __all__ = [
     "sz_sector_basis",
+    "parity_sector_basis",
+    "tfi_parity_sector_coo",
+    "tfi_ground_energy_exact",
     "heisenberg_sector_coo",
     "heisenberg_block_hamiltonian",
     "heisenberg_ground_state",
@@ -190,3 +194,75 @@ def heisenberg_ground_state(
         if e < best[0]:
             best = (e, n_up, vec)
     return best[0], best[1], best[2], energies
+
+
+# ---------------------------------------------------------------------------
+# Transverse-field Ising chain — the OTHER symmetry class: Z2 spin-flip
+# parity P = Π σᶻ (popcount parity) instead of U(1) total-S_z
+# ---------------------------------------------------------------------------
+def parity_sector_basis(L: int, parity: int) -> np.ndarray:
+    """All length-L bit states whose up-spin count has the given parity
+    (0 = even, 1 = odd), ascending — the basis of one Z2 sector of any
+    parity-conserving Hamiltonian (σˣσˣ bonds flip spins in pairs)."""
+    if parity not in (0, 1):
+        raise EigenexError("parity must be 0 (even) or 1 (odd)")
+    states = np.arange(1 << L, dtype=np.int64)
+    pop = np.zeros(1 << L, dtype=np.int64)
+    for b in range(L):
+        pop += (states >> b) & 1
+    return states[(pop & 1) == parity]
+
+
+def tfi_parity_sector_coo(
+    L: int,
+    J: float = 1.0,
+    h: float = 1.0,
+    parity: int = 0,
+    pbc: bool = True,
+    dtype=np.float64,
+) -> COOMatrix:
+    """Transverse-field Ising chain H = −J Σ_b σˣ_i σˣ_j − h Σ_i σᶻ_i
+    restricted to one Z2 parity sector (dim 2^{L−1}), as a COO matrix.
+
+    The σˣσˣ bond flips two adjacent spins (popcount parity preserved);
+    the field term is diagonal.  Ground state lives in the EVEN sector
+    (parity=0).  PBC spectra are exactly solvable by Jordan–Wigner free
+    fermions — :func:`tfi_ground_energy_exact` is the closed-form oracle
+    (the TFI analog of the 1D-Laplacian closed form, SURVEY.md §4c)."""
+    states = parity_sector_basis(L, parity)
+    index = {int(s): i for i, s in enumerate(states)}
+    dim = len(states)
+    bonds = [(i, i + 1) for i in range(L - 1)] + ([(L - 1, 0)] if pbc and L > 2 else [])
+
+    rows, cols, vals = [], [], []
+    # diagonal: −h Σ σᶻ with σᶻ = +1 for bit 1
+    pop = np.zeros(dim, np.int64)
+    for b in range(L):
+        pop += (states >> b) & 1
+    diag = (-h * (2 * pop - L)).astype(dtype)
+    rows.extend(range(dim))
+    cols.extend(range(dim))
+    vals.extend(diag.tolist())
+    # off-diagonal: −J σˣ_i σˣ_j flips bits i, j on EVERY state
+    for (i, j) in bonds:
+        flip_mask = (1 << i) | (1 << j)
+        dst = states ^ flip_mask
+        for s, d in zip(states.tolist(), dst.tolist()):
+            rows.append(index[d])
+            cols.append(index[s])
+            vals.append(-J)
+    order = np.lexsort((np.asarray(cols), np.asarray(rows)))
+    r = np.asarray(rows, np.int32)[order]
+    c = np.asarray(cols, np.int32)[order]
+    v = np.asarray(vals, dtype)[order]
+    return COOMatrix(jnp.asarray(r), jnp.asarray(c), jnp.asarray(v), (dim, dim))
+
+
+def tfi_ground_energy_exact(L: int, J: float = 1.0, h: float = 1.0) -> float:
+    """Closed-form PBC ground energy via Jordan–Wigner free fermions:
+    E0 = −½ Σ_m ε(k_m), ε(k) = 2√(J² + h² − 2Jh cos k) over the
+    antiperiodic (even-parity/Neveu–Schwarz) momenta k_m = (2m+1)π/L.
+    Verified against dense diagonalization for L ≤ 12 in the tests."""
+    ks = (2 * np.arange(L) + 1) * np.pi / L
+    eps = 2.0 * np.sqrt(J * J + h * h - 2.0 * J * h * np.cos(ks))
+    return float(-0.5 * np.sum(eps))

@@ -109,3 +109,64 @@ class TestGroundState:
         hpsi = bt.contract(psi, [(1, 0)])
         num = float(sum(jnp.vdot(psi.blocks[k], hpsi.blocks[k]) for k in psi.blocks))
         np.testing.assert_allclose(num, e, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Transverse-field Ising: Z2 parity sectors + free-fermion closed form
+# ---------------------------------------------------------------------------
+class TestTFI:
+    def _dense(self, L, J, h, pbc=True):
+        n = 2**L
+        H = np.zeros((n, n))
+        for s in range(n):
+            H[s, s] = -h * (2 * bin(s).count("1") - L)
+            for i in range(L if pbc else L - 1):
+                j = (i + 1) % L
+                H[s ^ ((1 << i) | (1 << j)), s] += -J
+        return H
+
+    def test_sectors_reassemble_dense(self):
+        from eigenex_tpu.block.hamiltonians import (
+            parity_sector_basis, tfi_parity_sector_coo,
+        )
+
+        L, J, h = 6, 0.8, 1.3
+        H = self._dense(L, J, h)
+        evs = []
+        for par in (0, 1):
+            coo = tfi_parity_sector_coo(L, J, h, parity=par)
+            assert coo.shape == (2 ** (L - 1),) * 2
+            basis = parity_sector_basis(L, par)
+            np.testing.assert_allclose(
+                np.asarray(coo.to_dense()), H[np.ix_(basis, basis)], atol=1e-12
+            )
+            evs.append(np.linalg.eigvalsh(np.asarray(coo.to_dense())))
+        np.testing.assert_allclose(
+            np.sort(np.concatenate(evs)), np.linalg.eigvalsh(H), atol=1e-10
+        )
+
+    def test_exact_formula_matches_dense(self):
+        from eigenex_tpu.block.hamiltonians import tfi_ground_energy_exact
+
+        for L, J, h in ((8, 1.0, 1.0), (10, 1.0, 0.5), (8, 0.7, 1.1)):
+            E0 = np.linalg.eigvalsh(self._dense(L, J, h))[0]
+            assert abs(tfi_ground_energy_exact(L, J, h) - E0) < 1e-10
+
+    def test_lanczos_ground_state_vs_closed_form(self):
+        # L=16: sector dim 32768 — Lanczos in the even sector hits the
+        # free-fermion closed form to 1e-10 (the TFI config analog of
+        # the Laplacian closed-form oracle)
+        from eigenex_tpu.block.hamiltonians import (
+            tfi_ground_energy_exact, tfi_parity_sector_coo,
+        )
+        from eigenex_tpu.solvers.lanczos import LanczosEigenSolver, LanczosOptions
+
+        L = 16
+        coo = tfi_parity_sector_coo(L, 1.0, 1.0, parity=0)
+        res = LanczosEigenSolver(
+            coo.as_linear_operator(),
+            LanczosOptions(max_eigenvalues=1, tolerance=1e-14, max_subspace=120,
+                           compute_eigenvectors=False),
+        ).compute()
+        err = abs(res.eigenvalues[0] - tfi_ground_energy_exact(L))
+        assert err < 1e-10, f"TFI L=16 measured error {err:.2e}"
