@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bsr_matvec_pallas", "bsr_matmat_pallas", "sym_bsr_matvec_pallas"]
+__all__ = [
+    "bsr_matvec_pallas",
+    "bsr_matmat_pallas",
+    "sym_bsr_matvec_pallas",
+    "sym_bsr_matmat_pallas",
+]
 
 
 #: block rows processed per grid program — keeps the output tile
@@ -255,30 +260,157 @@ def sym_bsr_matvec_pallas(
     return y.reshape(sym.shape[0])
 
 
-def _spmm_kernel(kmax: int, cols_ref, data_ref, x_ref, y_ref):
-    """One block row, dense RHS: y[r] = Σ_k data[r, k] @ X[cols[r, k]].
-    ``cols_ref`` flattened to 1-D (see _spmv_kernel)."""
-    r = pl.program_id(0)
-    bm = y_ref.shape[-2]
-    p = y_ref.shape[-1]
-    acc = jnp.zeros((bm, p), jnp.float32)
-    for k in range(kmax):
-        c = cols_ref[r * kmax + k]
-        xb = x_ref[c]  # (bn, p)
-        blk = data_ref[0, k]  # (bm, bn)
-        acc = acc + jnp.dot(blk, xb, preferred_element_type=jnp.float32)
-    y_ref[0] = acc.astype(y_ref.dtype)
+def _sym_spmm_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_ref, y_ref):
+    """Multi-RHS generalization of :func:`_sym_spmv_kernel`: Y = A·X with
+    A in diag + strictly-upper block storage and X a panel of ``p`` RHS
+    columns.  X and Y live VMEM-resident in TRANSPOSED slab form
+    ``(n_blocks, p, bn)`` — p in the sublane dim, the block axis in the
+    lane dim — so both products are the row-vector ``dot_general`` of the
+    SpMV kernel widened from 1 row to p rows, and the p=8 panel needs no
+    lane padding (a ``(bn, p)`` layout would pad p→128 lanes, 16× VMEM).
+
+    Per upper block B at (r, c>r), read from HBM once:
+      Y[r] += X[c]·Bᵀ   (contract dim 1)     and
+      Y[c] += X[r]·B    (contract dim 0 of B — the transpose application)
+    — the same half-traffic trade as SpMV, and at p RHS columns the
+    matmat is still HBM-bound (measured round 2: full-storage XLA einsum
+    at p=8 runs ~90% of its 2-byte/nnz roofline), so halving block bytes
+    is worth ~2× where the resident panels fit."""
+    pid = pl.program_id(0)
+    r0 = pid * rows_per
+
+    @pl.when(pid == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    for i in range(rows_per):
+        r = r0 + i
+        xr = x_ref[r]  # (p, bn) f32
+        D = diag_ref[i].astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (p, bm)
+        for k in range(ku):
+            c = cols_ref[r * ku + k]
+            xb = x_ref[c]  # (p, bn)
+            B = upper_ref[i, k].astype(jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            yc = jax.lax.dot_general(
+                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (p, bn)
+            y_ref[pl.ds(c, 1)] = y_ref[pl.ds(c, 1)] + yc[None]
+        y_ref[pl.ds(r, 1)] = y_ref[pl.ds(r, 1)] + acc[None]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def bsr_matmat_pallas(bsr, X: jax.Array, interpret: bool = False) -> jax.Array:
+@partial(jax.jit, static_argnames=("interpret", "rows_per"))
+def sym_bsr_matmat_pallas(
+    sym, X: jax.Array, interpret: bool = False, rows_per: int | None = None
+) -> jax.Array:
+    """Y = A @ X for symmetric (diag + strictly-upper) BSR storage with a
+    dense multi-column RHS — the block-Lanczos / subspace-iteration feed.
+
+    Keeps BOTH panels (X and the Y accumulator, f32) VMEM-resident, so
+    eligibility shrinks with p: roughly ``n·p ≤ 1.7M`` elements on v5e
+    (p=8 ⇒ n ≲ 218k single-chip; beyond that the row-partitioned mesh
+    path keeps each shard under the cap, or this falls back to the
+    container's XLA scatter-add path).  p is padded up to a multiple of 8
+    (f32 sublane tile) and the pad columns sliced off the result."""
+    nbr, ku, bm, bn = sym.upper_data.shape
+    if not interpret and jax.default_backend() != "tpu":
+        return sym._xla_matmat(X)
+    if sym.dtype not in (jnp.float32, jnp.bfloat16) or bm % 8 or bn % 128 or bm != bn:
+        return sym._xla_matmat(X)
+    p_in = X.shape[1]
+    p = max(8, -(-p_in // 8) * 8)
+    nbc = sym.shape[1] // bn
+    resident = 2 * 4 * nbc * p * bn  # f32 X panel + f32 Y accumulator
+    R = (
+        _pick_sym_rows_per(nbr, ku, bm, bn, sym.upper_data.dtype.itemsize, resident)
+        if rows_per is None
+        else rows_per
+    )
+    if R <= 0 or nbr % R:
+        return sym._xla_matmat(X)
+    x2 = X.astype(jnp.float32)
+    if p != p_in:
+        x2 = jnp.pad(x2, ((0, 0), (0, p - p_in)))
+    # (n, p) -> (nbc, p, bn) transposed slabs: p sublanes, block axis lanes
+    x3 = x2.reshape(nbc, bn, p).transpose(0, 2, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr // R,),
+        in_specs=[
+            pl.BlockSpec((R, bm, bn), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (R, ku, bm, bn), lambda i, cols: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x3 resident
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),  # full Y accumulator
+    )
+    vma = getattr(jax.typeof(sym.upper_data), "vma", None) or getattr(
+        jax.typeof(x3), "vma", None
+    )
+    out_struct = (
+        jax.ShapeDtypeStruct((nbr, p, bm), jnp.float32, vma=vma)
+        if vma
+        else jax.ShapeDtypeStruct((nbr, p, bm), jnp.float32)
+    )
+    itemsize = sym.upper_data.dtype.itemsize
+    y = pl.pallas_call(
+        partial(_sym_spmm_kernel, ku, R),
+        out_shape=out_struct,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (sym.diag_data.size + 2 * sym.upper_data.size) * p,
+            bytes_accessed=(sym.diag_data.size + sym.upper_data.size) * itemsize
+            + x3.size * 4
+            + nbr * p * bm * 4,
+            transcendentals=0,
+        ),
+    )(sym.upper_cols.reshape(-1), sym.diag_data, sym.upper_data, x3)
+    out = y.transpose(0, 2, 1).reshape(sym.shape[0], p)
+    return out[:, :p_in] if p != p_in else out
+
+
+def _spmm_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
+    """``rows_per`` block rows, dense RHS: Y[r] = Σ_k data[r, k] @ X[cols[r, k]].
+
+    X and Y use the TRANSPOSED slab layout ``(n_blocks, p, bn)`` — p in
+    the sublane dim, the block axis in the lane dim — so each product is
+    the row-vector ``dot_general`` of :func:`_spmv_kernel` widened to p
+    rows and the p=8 panel needs no lane padding (the original
+    ``(bn, p)`` layout padded p→128 lanes: 16× VMEM and a 48 MB scoped-
+    VMEM overflow at n=196k).  Unlike the symmetric kernel no output
+    scatter exists, so Y streams per program; only X is resident."""
+    r0 = pl.program_id(0) * rows_per
+    for i in range(rows_per):
+        acc = jnp.zeros(y_ref.shape[-2:], jnp.float32)  # (p, bm)
+        for k in range(kmax):
+            c = cols_ref[(r0 + i) * kmax + k]
+            xb = x_ref[c]  # (p, bn)
+            blk = data_ref[i, k].astype(jnp.float32)  # (bm, bn)
+            acc = acc + jax.lax.dot_general(
+                xb, blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        y_ref[i] = acc.astype(y_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret", "rows_per"))
+def bsr_matmat_pallas(
+    bsr, X: jax.Array, interpret: bool = False, rows_per: int | None = None
+) -> jax.Array:
     """Y = A @ X (dense multi-vector RHS) via Pallas.
 
     Returns the ACCUMULATION dtype (f32 for bf16 storage) like every
     other matvec/matmat path, so solver chains keep a stable carry type.
-    Note: at p≳8 columns the matmat is compute-bound, not HBM-bound —
-    measured on v5e the XLA einsum path wins (366.8 vs this kernel; see
-    BASELINE.md), so ``BSRMatrix.matmat`` stays on XLA by default."""
+    Falls back to the XLA einsum path when the resident X panel exceeds
+    the scoped-VMEM budget (n·p ≳ 3.4M f32 elements)."""
     nbr, kmax, bm, bn = bsr.data.shape
     out_dtype = bsr._acc_dtype
     if not interpret and jax.default_backend() != "tpu":
@@ -286,27 +418,45 @@ def bsr_matmat_pallas(bsr, X: jax.Array, interpret: bool = False) -> jax.Array:
     if bsr.dtype not in (jnp.float32, jnp.bfloat16) or bm % 8 or bn % 128:
         return bsr.matmat(X)
     nbc = bsr.n_block_cols
-    p = X.shape[1]
-    x3 = X.astype(bsr.dtype).reshape(nbc, bn, p)
+    p_in = X.shape[1]
+    p = max(8, -(-p_in // 8) * 8)
+    resident = 4 * nbc * p * bn  # f32 X panel (Y streams per program)
+    if rows_per is None:
+        itemsize = bsr.data.dtype.itemsize
+        budget = 14 * 2**20 - resident
+        R = 0
+        for r in (64, 32, 16, 8, 4, 2, 1):
+            # double-buffered data stream + the (R, p, bm) output tile
+            if nbr % r == 0 and 2 * r * (kmax * bm * bn * itemsize + p * bm * 4) <= budget:
+                R = r
+                break
+        if R == 0:
+            return bsr.matmat(X)
+    else:
+        R = rows_per
+    x2 = X.astype(jnp.float32)
+    if p != p_in:
+        x2 = jnp.pad(x2, ((0, 0), (0, p - p_in)))
+    x3 = x2.reshape(nbc, bn, p).transpose(0, 2, 1)  # (nbc, p, bn) slabs
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nbr,),
+        grid=(nbr // R,),
         in_specs=[
             pl.BlockSpec(
-                (1, kmax, bm, bn),
+                (R, kmax, bm, bn),
                 lambda i, cols: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x3 resident
         ],
         out_specs=pl.BlockSpec(
-            (1, bm, p), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM
+            (R, p, bm), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     y = pl.pallas_call(
-        partial(_spmm_kernel, kmax),
-        out_shape=jax.ShapeDtypeStruct((nbr, bm, p), out_dtype),
+        partial(_spmm_kernel, kmax, R),
+        out_shape=jax.ShapeDtypeStruct((nbr, p, bm), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -316,4 +466,5 @@ def bsr_matmat_pallas(bsr, X: jax.Array, interpret: bool = False) -> jax.Array:
             transcendentals=0,
         ),
     )(bsr.block_cols.reshape(-1), bsr.data, x3)
-    return y.reshape(bsr.shape[0], p)
+    out = y.transpose(0, 2, 1).reshape(bsr.shape[0], p)
+    return out[:, :p_in] if p != p_in else out

@@ -114,6 +114,15 @@ class SymBSRMatrix:
         return sym_bsr_matvec_pallas(self, x)
 
     def matmat(self, X: jax.Array) -> jax.Array:
+        """Multi-RHS product.  On TPU this routes to the Pallas panel
+        kernel (:func:`eigenex_tpu.ops.pallas_spmv.sym_bsr_matmat_pallas`)
+        when the VMEM-resident X/Y panels fit, else the XLA scatter-add
+        path below."""
+        from ..ops.pallas_spmv import sym_bsr_matmat_pallas
+
+        return sym_bsr_matmat_pallas(self, X)
+
+    def _xla_matmat(self, X: jax.Array) -> jax.Array:
         bm, bn = self.block_shape
         acc = self._acc_dtype
         p = X.shape[1]

@@ -119,6 +119,35 @@ class TestSymBSR:
         y = sym_bsr_matvec_pallas(sym, x, interpret=True)
         np.testing.assert_allclose(y, bsr.matvec(x), rtol=2e-5, atol=1e-4)
 
+    def test_spmm_pallas_interpret_matches_full(self):
+        from eigenex_tpu.ops.pallas_spmv import sym_bsr_matmat_pallas
+
+        bsr = sym_banded_bsr(16, 128)
+        sym = sym_bsr_from_bsr(bsr)
+        for p in (5, 8, 16):  # pad path (5), exact tile (8), two tiles (16)
+            X = jnp.asarray(
+                np.random.default_rng(10 + p)
+                .standard_normal((bsr.shape[1], p))
+                .astype(np.float32)
+            )
+            Y = sym_bsr_matmat_pallas(sym, X, interpret=True)
+            assert Y.shape == (bsr.shape[0], p)
+            np.testing.assert_allclose(Y, bsr.matmat(X), rtol=2e-5, atol=1e-4)
+
+    def test_spmm_pallas_interpret_bf16(self):
+        from eigenex_tpu.ops.pallas_spmv import sym_bsr_matmat_pallas
+
+        bsr = sym_banded_bsr(8, 128)
+        sym = sym_bsr_from_bsr(bsr).astype(jnp.bfloat16)
+        X = jnp.asarray(
+            np.random.default_rng(7).standard_normal((bsr.shape[1], 8)).astype(np.float32)
+        )
+        Y = sym_bsr_matmat_pallas(sym, X, interpret=True)
+        assert Y.dtype == jnp.float32
+        ref = sym.astype(jnp.float32)._xla_matmat(X)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(Y, ref, atol=2e-2 * scale)
+
     def test_hermitian_complex_xla(self):
         rng = np.random.default_rng(4)
         n = 24
