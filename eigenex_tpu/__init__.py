@@ -47,6 +47,8 @@ from .solvers.krylov_schur import KrylovSchurArnoldiSolver, KrylovSchurOptions
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
 from .solvers.cg import cg_solve, shift_invert_operator
 from .solvers.block_lanczos import BlockLanczosEigenSolver, BlockLanczosOptions
+from .solvers.lobpcg import LOBPCGOptions, LOBPCGSolver, lobpcg
+from .solvers.precond import jacobi_preconditioner
 from .solvers.refine import (
     general_inverse_iteration_refine,
     general_rayleigh_refine,

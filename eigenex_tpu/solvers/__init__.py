@@ -17,6 +17,8 @@ from .functions import (
     taylor_expmv_auto,
 )
 from .cg import cg_solve, shift_invert_operator
+from .lobpcg import LOBPCGOptions, LOBPCGSolver, lobpcg
+from .precond import jacobi_preconditioner
 from .restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
 from .lanczos import (
     UNLIMITED,

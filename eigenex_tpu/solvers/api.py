@@ -87,9 +87,12 @@ def eigsh(
     *,
     which: str = "SA",
     sigma=None,
+    M=None,
+    preconditioner=None,
     tol: float | None = None,
     max_subspace: int | None = None,
     max_restarts: int = 200,
+    max_iterations: int = 200,
     seed: int = 0,
     inner_tol: float | None = None,
     mesh=None,
@@ -101,6 +104,10 @@ def eigsh(
 
     which: "SA" (smallest algebraic) or "LA" (largest algebraic);
     ignored when ``sigma`` is given (returns the pairs nearest σ).
+    M: Hermitian positive-definite right-hand operator of the
+    GENERALIZED problem ``A x = λ M x`` — routes to the block
+    preconditioned LOBPCG driver (:func:`~eigenex_tpu.solvers.lobpcg.lobpcg`),
+    optionally with ``preconditioner`` (``T ≈ A⁻¹`` applied blockwise).
     inner_tol: relative-residual target of the GMRES inner solve backing
     ``sigma`` targeting — the outer eigenvalue error tracks this knob
     (default: 1e-2 of the outer tolerance).
@@ -114,6 +121,31 @@ def eigsh(
         raise EigenexError("eigsh requires a square operator")
     if which not in ("SA", "LA"):
         raise EigenexError(f"which must be 'SA' or 'LA', got {which!r}")
+
+    if M is not None or preconditioner is not None:
+        if sigma is not None or mesh is not None:
+            raise EigenexError(
+                "M=/preconditioner= (the LOBPCG route) cannot be combined "
+                "with sigma= or mesh="
+            )
+        from .lobpcg import lobpcg
+
+        opM = _resolve_operand(M)[0] if M is not None else None
+        res = lobpcg(
+            op,
+            k,
+            B=opM,
+            preconditioner=preconditioner,
+            largest=(which == "LA"),
+            tol=tol,
+            max_iterations=max_iterations,
+            seed=seed,
+        )
+        order = np.argsort(np.asarray(res.eigenvalues))  # ascending, as the
+        res.eigenvalues = np.asarray(res.eigenvalues)[order]  # Lanczos routes
+        if res.eigenvectors is not None:
+            res.eigenvectors = res.eigenvectors[:, order]
+        return _maybe_refine_hermitian(res, coo, refine)
 
     if mesh is not None:
         if sigma is not None:

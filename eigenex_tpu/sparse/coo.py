@@ -282,6 +282,18 @@ class COOMatrix:
         )
         return jnp.max(rowsum)
 
+    def diagonal(self) -> jax.Array:
+        """Main diagonal as a dense (n,) vector (duplicate triplets sum,
+        matching the SpMV semantics) — feeds the Jacobi preconditioner
+        (:func:`eigenex_tpu.solvers.precond.jacobi_preconditioner`)."""
+        n = min(self.shape)
+        mask = (self.row == self.col) & (self.row < n)
+        return jax.ops.segment_sum(
+            jnp.where(mask, self.val, 0),
+            jnp.where(mask, self.row, 0),
+            num_segments=n,
+        )
+
     # -- spectral-range estimation ---------------------------------------
     def gershgorin_discs(self):
         """Per-row (center, radius) of the Gershgorin discs
