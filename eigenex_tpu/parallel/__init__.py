@@ -1,6 +1,7 @@
 from .distributed import (
     DistributedKrylovSchurArnoldiSolver,
     DistributedLanczosEigenSolver,
+    DistributedLOBPCGSolver,
     DistributedThickRestartLanczosEigenSolver,
     distributed_arnoldi_steps,
     distributed_lanczos_steps,

@@ -63,6 +63,7 @@ from ..solvers.lanczos import (
     _lanczos_chunk_body,
 )
 from ..solvers.krylov_schur import KrylovSchurArnoldiSolver
+from ..solvers.lobpcg import LOBPCGSolver
 from ..solvers.restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
 from ..sparse.bsr import BSRMatrix
 from ..utils.exceptions import EigenexError
@@ -951,3 +952,117 @@ class DistributedKrylovSchurArnoldiSolver(_DistributedBSRSolverMixin, KrylovSchu
         bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
         super().__init__(bsr.as_linear_operator(use_pallas=False), options)
         self._init_distributed(bsr, mesh, axis_name, matvec_mode, orig_n, use_pallas)
+
+
+# ---------------------------------------------------------------------------
+# Distributed LOBPCG (row-partitioned block iteration)
+# ---------------------------------------------------------------------------
+def _local_ell_spmm(data, cols, X):
+    """Shard-local BSR-ELL SpMM (multi-RHS): gather + batched einsum —
+    the matmat twin of :func:`_local_ell_spmv`."""
+    bn = data.shape[3]
+    Xb = X.reshape(-1, bn, X.shape[1])[cols]  # (nbr, k, bn, p)
+    acc = _acc_dtype_of(data.dtype)
+    Y = jnp.einsum(
+        "rkij,rkjb->rib", data, Xb.astype(data.dtype), preferred_element_type=acc
+    )
+    return Y.reshape(-1, X.shape[1]).astype(acc)
+
+
+_DIST_LOBPCG_CACHE: dict = {}
+
+
+def _get_dist_lobpcg_gram(mesh, axis_name):
+    """shard_map'd LOBPCG Gram stage: S row-sharded P(rows, None), the
+    operator's block rows P(rows); AS comes back row-sharded and the two
+    small Grams replicated (psum-completed) — the only collectives are
+    one all_gather of the (n, 3b) trial block and two psums of (3b, 3b)."""
+    key = (mesh, axis_name)
+    if key in _DIST_LOBPCG_CACHE:
+        return _DIST_LOBPCG_CACHE[key]
+
+    def local(data, cols, S_local):
+        S_full = lax.all_gather(S_local, axis_name, tiled=True)  # (n, m)
+        AS_local = _local_ell_spmm(data, cols, S_full)
+        GA = lax.psum(S_local.conj().T @ AS_local.astype(S_local.dtype), axis_name)
+        GB = lax.psum(S_local.conj().T @ S_local, axis_name)
+        return AS_local.astype(S_local.dtype), GA, GB
+
+    fn = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name, None)),
+            out_specs=(P(axis_name, None), P(), P()),
+        )
+    )
+    _DIST_LOBPCG_CACHE[key] = fn
+    return fn
+
+
+class DistributedLOBPCGSolver(LOBPCGSolver):
+    """LOBPCG with the trial blocks row-partitioned over a device mesh.
+
+    The Gram stage (operator SpMM + the two (3b, 3b) Grams) runs under
+    ``shard_map`` — one ``all_gather`` of the trial block per iteration
+    plus two scalar-size ``psum``s; the update stage (X/P/R from host
+    coefficients) is row-local linear algebra that XLA auto-shards from
+    the already-partitioned inputs.  Standard problems only (B = I): the
+    generalized pencil keeps to the single-device driver.  An optional
+    ``preconditioner`` must act row-locally (elementwise/diagonal — e.g.
+    :func:`eigenex_tpu.solvers.precond.jacobi_preconditioner` with a
+    diagonal padded to the mesh length).
+    """
+
+    def __init__(
+        self,
+        bsr: BSRMatrix,
+        mesh: Mesh | None = None,
+        options=None,
+        *,
+        block_size: int = 4,
+        axis_name: str = ROWS,
+        preconditioner=None,
+    ):
+        from ..utils.prng import random_matrix
+
+        mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+        orig_n = bsr.shape[0]
+        bsr = pad_bsr_for_mesh(bsr, mesh.shape[axis_name])
+        super().__init__(
+            bsr.as_linear_operator(use_pallas=False),
+            options,
+            block_size=block_size,
+            preconditioner=preconditioner,
+        )
+        self.bsr = bsr
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self._dist_orig_n = orig_n
+        if bsr.shape[0] != orig_n:
+            # padding-safe start block: zero rows beyond the true n keep
+            # every iterate exactly zero in the padding coordinates
+            seed = (options.seed if options is not None else 0)
+            X0 = random_matrix(
+                jax.random.PRNGKey(seed), block_size, orig_n, bsr.dtype
+            ).T
+            self._initial_block = jnp.zeros(
+                (bsr.shape[0], block_size), bsr.dtype
+            ).at[:orig_n].set(X0)
+
+    def _run_gram(self, S, has_b):
+        if has_b:
+            raise EigenexError(
+                "DistributedLOBPCGSolver supports standard problems only "
+                "(B = I); use the single-device LOBPCGSolver for pencils"
+            )
+        fn = _get_dist_lobpcg_gram(self.mesh, self.axis_name)
+        AS, GA, GB = fn(self.bsr.data, self.bsr.block_cols, S)
+        return AS, S, GA, GB
+
+    def compute(self, operator=None):
+        res = super().compute(operator)
+        n = self._dist_orig_n
+        if res.eigenvectors is not None and res.eigenvectors.shape[0] != n:
+            res.eigenvectors = res.eigenvectors[:n]
+        return res

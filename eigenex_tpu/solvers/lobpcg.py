@@ -180,6 +180,12 @@ class LOBPCGSolver:
             return T.matmat(R)
         return T(R)
 
+    def _run_gram(self, S, has_b):
+        """(AS, BS, GA, GB) for the trial block — the distributed driver
+        overrides this with a shard_map'd row-partitioned version."""
+        opB = self.b_operator if has_b else self.operator
+        return _gram_stage(self.operator, opB, S, has_b=has_b)
+
     def compute(self, operator=None) -> LanczosResult:
         if operator is not None:
             self.operator = aslinearoperator(operator)
@@ -233,7 +239,7 @@ class LOBPCGSolver:
                 if have_p and W is not None
                 else (jnp.concatenate([X, W], axis=1) if W is not None else X)
             )
-            AS, BS, GA, GB = _gram_stage(op, opB if has_b else op, S, has_b=has_b)
+            AS, BS, GA, GB = self._run_gram(S, has_b)
             rr = _host_rayleigh_ritz(GA, GB, b, o.largest, o.rank_tol)
             if rr is None and have_p:
                 # ill-conditioned trial basis: soft restart without P
@@ -242,9 +248,7 @@ class LOBPCGSolver:
                     f"iteration {it}: trial basis ill-conditioned, dropping P",
                 )
                 S = jnp.concatenate([X, W], axis=1) if W is not None else X
-                AS, BS, GA, GB = _gram_stage(
-                    op, opB if has_b else op, S, has_b=has_b
-                )
+                AS, BS, GA, GB = self._run_gram(S, has_b)
                 rr = _host_rayleigh_ritz(GA, GB, b, o.largest, o.rank_tol)
             if rr is None:
                 termination = "numerical_failure"

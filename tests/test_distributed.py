@@ -485,3 +485,65 @@ class TestSymHalo:
                 sym, mesh, ThickRestartOptions(max_eigenvalues=2),
                 matvec_mode="allgather",
             )
+
+
+class TestDistributedLOBPCG:
+    def test_matches_single_device(self, mesh):
+        from eigenex_tpu.parallel import DistributedLOBPCGSolver
+        from eigenex_tpu.solvers.lobpcg import LOBPCGOptions, lobpcg
+
+        n, k = 96, 3
+        bsr = laplacian_bsr(n, 8)
+        dist = DistributedLOBPCGSolver(
+            bsr, mesh, LOBPCGOptions(tolerance=1e-12), block_size=k
+        ).compute()
+        single = lobpcg(jnp.asarray(np.asarray(bsr.to_dense())), k, tol=1e-12)
+        exact = 2 - 2 * np.cos(np.arange(1, k + 1) * np.pi / (n + 1))
+        np.testing.assert_allclose(dist.eigenvalues, exact, atol=1e-9)
+        np.testing.assert_allclose(dist.eigenvalues, single.eigenvalues, atol=1e-9)
+        assert dist.converged
+
+    def test_padding_and_vector_slicing(self, mesh):
+        from eigenex_tpu.parallel import DistributedLOBPCGSolver
+        from eigenex_tpu.solvers.lobpcg import LOBPCGOptions
+
+        n, k = 36, 2  # 36/4 = 9 block rows -> pads to 16 over 8 shards
+        bsr = laplacian_bsr(n, 4)
+        res = DistributedLOBPCGSolver(
+            bsr, mesh, LOBPCGOptions(tolerance=1e-11), block_size=k
+        ).compute()
+        exact = 2 - 2 * np.cos(np.arange(1, k + 1) * np.pi / (n + 1))
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-8)
+        assert res.eigenvectors.shape == (n, k)
+        # residual in the ORIGINAL (unpadded) problem
+        A = np.asarray(bsr.to_dense())[:n, :n]
+        X = np.asarray(res.eigenvectors)
+        r = A @ X - X * np.asarray(res.eigenvalues)[None, :]
+        assert np.linalg.norm(r, axis=0).max() < 1e-7
+
+    def test_row_local_preconditioner(self, mesh):
+        from eigenex_tpu.parallel import DistributedLOBPCGSolver
+        from eigenex_tpu.solvers.lobpcg import LOBPCGOptions
+
+        n, k = 64, 2
+        bsr = laplacian_bsr(n, 8)
+        dinv = jnp.full(n, 1 / 2.0)  # Jacobi diag of the Laplacian
+        res = DistributedLOBPCGSolver(
+            bsr, mesh, LOBPCGOptions(tolerance=1e-11), block_size=k,
+            preconditioner=lambda R: dinv[:, None] * R,
+        ).compute()
+        exact = 2 - 2 * np.cos(np.arange(1, k + 1) * np.pi / (n + 1))
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-8)
+
+    def test_generalized_rejected(self, mesh):
+        from eigenex_tpu.parallel import DistributedLOBPCGSolver
+        from eigenex_tpu.solvers.lobpcg import LOBPCGOptions
+        from eigenex_tpu.utils.exceptions import EigenexError
+
+        bsr = laplacian_bsr(32, 8)
+        s = DistributedLOBPCGSolver(
+            bsr, mesh, LOBPCGOptions(), block_size=2
+        )
+        s.b_operator = s.operator
+        with pytest.raises(EigenexError):
+            s.compute()
