@@ -47,6 +47,13 @@ from .solvers.krylov_schur import KrylovSchurArnoldiSolver, KrylovSchurOptions
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
 from .solvers.cg import cg_solve, shift_invert_operator
 from .solvers.block_lanczos import BlockLanczosEigenSolver, BlockLanczosOptions
+from .solvers.chebyshev import (
+    ChebyshevFilterOptions,
+    ChebyshevFilterSolver,
+    chebyshev_bandpass_apply,
+    chebyshev_filter_apply,
+    eigsh_window,
+)
 from .solvers.lobpcg import LOBPCGOptions, LOBPCGSolver, lobpcg
 from .solvers.precond import jacobi_preconditioner
 from .solvers.refine import (

@@ -17,6 +17,13 @@ from .functions import (
     taylor_expmv_auto,
 )
 from .cg import cg_solve, shift_invert_operator
+from .chebyshev import (
+    ChebyshevFilterOptions,
+    ChebyshevFilterSolver,
+    chebyshev_bandpass_apply,
+    chebyshev_filter_apply,
+    eigsh_window,
+)
 from .lobpcg import LOBPCGOptions, LOBPCGSolver, lobpcg
 from .precond import jacobi_preconditioner
 from .restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
