@@ -70,9 +70,11 @@ def main():
     X = jnp.asarray(rng.standard_normal((bsr.shape[0], p)).astype(np.float32))
 
     # correctness gate before timing
+    print("# building/correctness gate...", file=sys.stderr, flush=True)
     ref = np.asarray(bsr.matmat(X))
     got = np.asarray(sym_bsr_matmat_pallas(sym16, X))
     err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    print(f"# sym pallas vs xla rel err {err:.2e}", file=sys.stderr, flush=True)
     if err > 2e-2:
         print(f"# sym pallas SpMM disagrees (rel err {err:.2e})", file=sys.stderr)
 
@@ -86,10 +88,17 @@ def main():
     }
     rates = {}
     for label, (fn, A) in paths.items():
+        t0 = time.perf_counter()
         try:
             rates[label] = nnz / time_matmat(fn, A, X)
+            print(
+                f"# {label}: {rates[label] / 1e9:.1f} Gnnz/s"
+                f" ({time.perf_counter() - t0:.0f}s incl. compile)",
+                file=sys.stderr,
+                flush=True,
+            )
         except Exception as e:  # keep the matrix honest even if one path dies
-            print(f"# {label} failed: {type(e).__name__}", file=sys.stderr)
+            print(f"# {label} failed: {type(e).__name__}", file=sys.stderr, flush=True)
 
     for k, v in sorted(rates.items(), key=lambda kv: -kv[1]):
         print(f"# {k}: {v / 1e9:.1f} Gnnz/s", file=sys.stderr)
