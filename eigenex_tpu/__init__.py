@@ -54,6 +54,12 @@ from .solvers.chebyshev import (
     chebyshev_filter_apply,
     eigsh_window,
 )
+from .solvers.kpm import (
+    chebyshev_moments,
+    eigenvalue_count,
+    eigsh_range,
+    spectral_density,
+)
 from .solvers.lobpcg import LOBPCGOptions, LOBPCGSolver, lobpcg
 from .solvers.precond import jacobi_preconditioner
 from .solvers.refine import (

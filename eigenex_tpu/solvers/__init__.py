@@ -24,6 +24,12 @@ from .chebyshev import (
     chebyshev_filter_apply,
     eigsh_window,
 )
+from .kpm import (
+    chebyshev_moments,
+    eigenvalue_count,
+    eigsh_range,
+    spectral_density,
+)
 from .lobpcg import LOBPCGOptions, LOBPCGSolver, lobpcg
 from .precond import jacobi_preconditioner
 from .restart import ThickRestartLanczosEigenSolver, ThickRestartOptions
