@@ -82,9 +82,9 @@ def main():
     # --- symmetric storage: 2x the rows in the SAME HBM footprint ------
     # (diag + single upper off-diagonal per block row, built on device;
     # each upper block applies to both triangles).  At this n the Pallas
-    # sym kernel's VMEM-resident x/y no longer fit, so matvec runs the
-    # XLA scatter-add sym path — still half the HBM block traffic; the
-    # kernel path at scale is the distributed sym_halo mode.
+    # sym kernel's VMEM-resident x/y no longer fit; the matvec runs the
+    # round-3 STREAMING sym kernel (strip-windowed x, carried y scatter),
+    # which keeps the half-traffic layout on the fast path at ANY size.
     del bsr, data, cols, op, s0
     from eigenex_tpu.sparse.sym_bsr import SymBSRMatrix
 
@@ -97,7 +97,9 @@ def main():
     ucols = jnp.minimum(jnp.arange(nbr_s, dtype=jnp.int32), nbr_s - 1)[:, None]
     ucols = ucols.at[:-1, 0].set(jnp.arange(1, nbr_s, dtype=jnp.int32))
     ucols = ucols.at[-1, 0].set(0)
-    sym = SymBSRMatrix(diag, upper, ucols, (n_s, n_s))
+    # band_reach=1 (block-tridiagonal upper): routes matvec to the
+    # STREAMING Pallas kernel — no VMEM size cap (round-3 kernel)
+    sym = SymBSRMatrix(diag, upper, ucols, (n_s, n_s), band_reach=1)
     nnz_eff = sym.nnz_applied  # both triangles
     xs = jax.random.normal(jax.random.PRNGKey(4), (n_s,), jnp.float32)
     print(

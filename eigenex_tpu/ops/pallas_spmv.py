@@ -144,6 +144,138 @@ def _pick_sym_rows_per(
     return 0
 
 
+def _pick_sym_strip(nbr: int, ku: int, bm: int, bn: int, itemsize: int, reach: int) -> int:
+    """Strip length (block rows per grid program) for the STREAMING
+    symmetric kernel: must divide ``nbr``, be ≥ the band reach (every
+    upper block's column then lands in the own or the immediately-next
+    strip), and fit the double-buffered block stream + the two x windows
+    + the y tile + the carry buffer in scoped VMEM.  Returns 0 when no
+    strip qualifies (caller falls back)."""
+    budget = 14 * 2**20
+    for s in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if nbr % s or s < reach:
+            continue
+        stream = 2 * s * (1 + ku) * bm * bn * itemsize  # diag+upper blocks
+        xwin = 2 * 2 * s * bn * 4  # two f32 x windows, double-buffered
+        ytile = 3 * s * bm * 4  # f32 out tile (double-buffered) + carry
+        if stream + xwin + ytile <= budget:
+            return s
+    return 0
+
+
+def _sym_spmv_stream_kernel(
+    ku: int, strip: int, cols_ref, diag_ref, upper_ref, xc_ref, xn_ref, y_ref, carry_ref
+):
+    """STREAMING symmetric SpMV — the no-size-cap variant of
+    :func:`_sym_spmv_kernel` for BANDED symmetric operators (block band
+    reach ≤ strip).  Nothing is fully VMEM-resident: program ``i``
+    streams strip ``i`` of the diag+upper blocks, an x window of strips
+    ``i`` and ``i+1`` (every upper column c ∈ (r, r+reach] lands there),
+    and emits y strip ``i``.
+
+    The transpose contributions y[c] += Bᵀ·x[r] scatter either into the
+    own y tile (c in strip i) or into a persistent VMEM ``carry`` buffer
+    (c in strip i+1) — the TPU grid is sequential, so program i+1 starts
+    by folding the carry into its own y tile before zeroing it for the
+    strip after.  Each off-diagonal block is still read from HBM exactly
+    once and applied to both triangles: the half-traffic win survives at
+    any problem size, for ~12 extra streamed bytes/row (x read twice as
+    cur+next windows, f32) against the ≥256 block bytes/row it halves."""
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    y_ref[...] = carry_ref[...].astype(y_ref.dtype)
+    carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    for i in range(strip):
+        xr = xc_ref[i, :][None, :]  # (1, bn) f32
+        D = diag_ref[i].astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        for k in range(ku):
+            c = cols_ref[(pid * strip + i) * ku + k]
+            off = c - pid * strip  # padding slots (col 0, zero data) may go
+            in_cur = off < strip  # negative: clamp + add-zero is harmless
+            o1 = jnp.clip(off, 0, strip - 1)
+            o2 = jnp.clip(off - strip, 0, strip - 1)
+            xb = jnp.where(in_cur, xc_ref[pl.ds(o1, 1), :], xn_ref[pl.ds(o2, 1), :])
+            B = upper_ref[i, k].astype(jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            yc = jax.lax.dot_general(
+                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+            @pl.when(in_cur)
+            def _(o1=o1, yc=yc):
+                y_ref[pl.ds(o1, 1), :] = y_ref[pl.ds(o1, 1), :] + yc.astype(y_ref.dtype)
+
+            @pl.when(jnp.logical_not(in_cur))
+            def _(o2=o2, yc=yc):
+                carry_ref[pl.ds(o2, 1), :] = carry_ref[pl.ds(o2, 1), :] + yc
+
+        y_ref[pl.ds(i, 1), :] = y_ref[pl.ds(i, 1), :] + acc.astype(y_ref.dtype)
+
+
+def _sym_stream_call(sym, x: jax.Array, strip: int, interpret: bool) -> jax.Array:
+    """pallas_call plumbing for :func:`_sym_spmv_stream_kernel`."""
+    nbr, ku, bm, bn = sym.upper_data.shape
+    nbc = sym.shape[1] // bn
+    x2 = x.astype(jnp.float32).reshape(nbc, bn)
+    ngrid = nbr // strip
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngrid,),
+        in_specs=[
+            pl.BlockSpec(
+                (strip, bm, bn), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (strip, ku, bm, bn), lambda i, cols: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            # x window, own strip + next strip (clamped at the edge — the
+            # last strip's columns never leave it, c < nbr)
+            pl.BlockSpec((strip, bn), lambda i, cols: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (strip, bn),
+                lambda i, cols: (jnp.minimum(i + 1, ngrid - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((strip, bm), lambda i, cols: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((strip, bm), jnp.float32)],
+    )
+    vma = getattr(jax.typeof(sym.upper_data), "vma", None) or getattr(
+        jax.typeof(x2), "vma", None
+    )
+    out_struct = (
+        jax.ShapeDtypeStruct((nbr, bm), jnp.float32, vma=vma)
+        if vma
+        else jax.ShapeDtypeStruct((nbr, bm), jnp.float32)
+    )
+    itemsize = sym.upper_data.dtype.itemsize
+    y = pl.pallas_call(
+        partial(_sym_spmv_stream_kernel, ku, strip),
+        out_shape=out_struct,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (sym.diag_data.size + 2 * sym.upper_data.size),
+            bytes_accessed=(sym.diag_data.size + sym.upper_data.size) * itemsize
+            + 2 * x2.size * 4
+            + nbr * bm * 4,
+            transcendentals=0,
+        ),
+    )(sym.upper_cols.reshape(-1), sym.diag_data, sym.upper_data, x2, x2)
+    return y.reshape(sym.shape[0])
+
+
 def _sym_spmv_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_ref, y_ref):
     """Symmetric SpMV over diagonal + strictly-UPPER block storage: each
     off-diagonal block B at (r, c>r) is read from HBM ONCE and applied
@@ -199,26 +331,30 @@ def sym_bsr_matvec_pallas(
     exceeds scoped VMEM).  Falls back to the container's XLA path
     off-TPU or for unsupported dtypes/shapes."""
     nbr, ku, bm, bn = sym.upper_data.shape
-    # the kernel keeps the FULL x and y panels VMEM-resident (f32 each;
-    # the y accumulator receives cross-row scatter updates), so the
-    # rows-per-program pick must fit stream + panels jointly; past
-    # ~n=1.7M rows nothing fits and we fall back to the XLA scatter-add
-    # path (row-partition over a mesh via parallel.distributed sym_halo
-    # to stay on this kernel at scale)
+    if not interpret and jax.default_backend() != "tpu":
+        return sym._xla_matvec(x)
+    if sym.dtype not in (jnp.float32, jnp.bfloat16) or bm % 8 or bn % 128 or bm != bn:
+        return sym._xla_matvec(x)
+    # the RESIDENT kernel keeps the FULL x and y panels VMEM-resident
+    # (f32 each; the y accumulator receives cross-row scatter updates),
+    # so the rows-per-program pick must fit stream + panels jointly —
+    # past ~n=1.7M rows nothing fits.  Beyond that, BANDED operators
+    # (known finite band_reach) route to the STREAMING kernel below,
+    # which windows x and carries the y scatter between strips and has
+    # no size cap; only unbanded large operators fall back to XLA.
     resident = 8 * sym.shape[0]
     R = _pick_sym_rows_per(
         nbr, ku, bm, bn, sym.upper_data.dtype.itemsize, resident
     ) if rows_per is None else rows_per
-    if not interpret and jax.default_backend() != "tpu":
-        return sym._xla_matvec(x)
-    if (
-        R <= 0
-        or sym.dtype not in (jnp.float32, jnp.bfloat16)
-        or nbr % R
-        or bm % 8
-        or bn % 128
-        or bm != bn
-    ):
+    if R <= 0 or nbr % R:
+        reach = getattr(sym, "band_reach", -1)
+        strip = (
+            _pick_sym_strip(nbr, ku, bm, bn, sym.upper_data.dtype.itemsize, reach)
+            if reach >= 0
+            else 0
+        )
+        if strip:
+            return _sym_stream_call(sym, x, strip, interpret)
         return sym._xla_matvec(x)
     nbc = sym.shape[1] // bn
     x2 = x.astype(jnp.float32).reshape(nbc, bn)

@@ -123,7 +123,7 @@ def pad_bsr_for_mesh(bsr, n_shards: int):
         ud = jnp.concatenate([bsr.upper_data, jnp.zeros((pad, ku, bm, bn), bsr.dtype)])
         uc = jnp.concatenate([bsr.upper_cols, jnp.zeros((pad, ku), jnp.int32)])
         m = bsr.shape[0] + pad * bm
-        return SymBSRMatrix(diag, ud, uc, (m, m))
+        return SymBSRMatrix(diag, ud, uc, (m, m), bsr.band_reach)
     nbr = bsr.n_block_rows
     if nbr % n_shards == 0:
         return bsr
@@ -710,7 +710,13 @@ def halo_matvec(
             .astype(acc)
         )
 
-    y = ell(diag_data, diag_cols, x_local)
+    # the named scope tags the diag compute in HLO metadata so
+    # tests/test_hlo_overlap.py can assert the compiled schedule overlaps
+    # it with the collective-permute-start/-done pair (verified on the
+    # v5e 2x4 AOT compile: both starts issue before this fusion, both
+    # dones land after it)
+    with jax.named_scope("halo_diag_spmv"):
+        y = ell(diag_data, diag_cols, x_local)
     y = y + ell(left_data, left_cols, x_from_left)
     y = y + ell(right_data, right_cols, x_from_right)
     return y
@@ -822,8 +828,10 @@ def sym_halo_matvec(
     acc = _acc_dtype_of(diag.dtype)
 
     # in-panel symmetric part: needs no remote data — XLA overlaps the
-    # ppermutes above/below with this compute
-    y = _local_sym_matvec(diag, ud, uc, x_local, use_pallas)
+    # ppermutes above/below with this compute (schedule-verified by
+    # tests/test_hlo_overlap.py on the v5e 2x4 AOT compile)
+    with jax.named_scope("sym_halo_local_spmv"):
+        y = _local_sym_matvec(diag, ud, uc, x_local, use_pallas)
 
     # boundary: y[r] += B x_next[c]
     y = y + _local_ell_spmv(rd, rc, x_from_right, False)

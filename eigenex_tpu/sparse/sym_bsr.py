@@ -43,6 +43,12 @@ class SymBSRMatrix:
     upper_data: jax.Array  # (nbr, ku, bm, bm) — blocks at (r, cols[r,k]>r)
     upper_cols: jax.Array  # (nbr, ku) int32; padding slots: col 0, zero data
     shape: tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    #: max (col − row) over stored upper blocks, in BLOCK units — the band
+    #: reach.  −1 = unknown.  Known finite reach enables the STREAMING
+    #: Pallas kernel (strip-windowed x, carried y scatter), which has no
+    #: problem-size cap; unknown reach restricts the Pallas path to the
+    #: VMEM-resident kernel (≲1.7M rows) with XLA fallback beyond.
+    band_reach: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     @property
     def block_shape(self) -> tuple[int, int]:
@@ -72,6 +78,7 @@ class SymBSRMatrix:
             self.upper_data.astype(dtype),
             self.upper_cols,
             self.shape,
+            self.band_reach,
         )
 
     @property
@@ -253,6 +260,10 @@ def sym_bsr_from_bsr(bsr: BSRMatrix, *, check: bool = False, atol: float = 0.0) 
     ud = np.take_along_axis(data, order[:, :, None, None], axis=1).copy()
     ud[~valid] = 0
     uc = np.where(valid, np.take_along_axis(cols, order, axis=1), 0).astype(np.int32)
+    # band reach (block units): max col − row over REAL upper slots — the
+    # streaming-kernel eligibility metadata (padding slots point at col 0
+    # and would give a negative reach, masked out here)
+    reach = int((np.where(valid, uc, 0) - rows).max(initial=0))
     return SymBSRMatrix(
-        jnp.asarray(diag), jnp.asarray(ud), jnp.asarray(uc), bsr.shape
+        jnp.asarray(diag), jnp.asarray(ud), jnp.asarray(uc), bsr.shape, max(reach, 0)
     )

@@ -200,3 +200,104 @@ class TestSymBSR:
         # mid-size: picker shrinks R rather than overflowing
         r = _pick_sym_rows_per(8192, 1, 128, 128, 2, resident_bytes=8 * 1_000_000)
         assert 0 < r < 64
+
+
+# ---------------------------------------------------------------------------
+# Streaming symmetric kernel (round 3): no VMEM size cap for BANDED
+# symmetric operators — strip-windowed x, carry-based y scatter between
+# strips.  Interpret mode; forced via rows_per=0 (resident path disabled)
+# so the dispatcher exercises the streaming route regardless of size.
+# ---------------------------------------------------------------------------
+class TestSymStreamKernel:
+    def test_band_reach_metadata(self):
+        sym = sym_bsr_from_bsr(sym_banded_bsr(6, 8))
+        assert sym.band_reach == 1  # block-tridiagonal: upper reach 1
+        assert sym.astype(jnp.bfloat16).band_reach == 1
+
+    def test_strip_pick_respects_reach_and_divisor(self):
+        from eigenex_tpu.ops.pallas_spmv import _pick_sym_strip
+
+        # huge nbr: resident kernel impossible, stream still finds a strip
+        s = _pick_sym_strip(131072, 1, 128, 128, 2, reach=1)
+        assert s > 0 and 131072 % s == 0 and s >= 1
+        # reach larger than every fitting strip -> 0
+        assert _pick_sym_strip(131072, 1, 128, 128, 2, reach=100000) == 0
+        # strip must divide nbr
+        assert _pick_sym_strip(9973, 1, 128, 128, 2, reach=1) == 0  # prime
+
+    def test_stream_matches_xla_multi_strip(self):
+        from eigenex_tpu.ops.pallas_spmv import _sym_stream_call
+
+        bsr = sym_banded_bsr(32, 128)
+        sym = sym_bsr_from_bsr(bsr)
+        x = jnp.asarray(
+            np.random.default_rng(21).standard_normal(bsr.shape[1]).astype(np.float32)
+        )
+        ref = bsr.matvec(x)
+        for strip in (8, 16, 32):  # 4, 2, 1 grid programs — carry exercised
+            y = _sym_stream_call(sym, x, strip, interpret=True)
+            np.testing.assert_allclose(y, ref, rtol=2e-5, atol=1e-4)
+
+    def test_stream_bf16(self):
+        from eigenex_tpu.ops.pallas_spmv import _sym_stream_call
+
+        bsr = sym_banded_bsr(16, 128)
+        sym = sym_bsr_from_bsr(bsr).astype(jnp.bfloat16)
+        x = jnp.asarray(
+            np.random.default_rng(22).standard_normal(bsr.shape[1]).astype(np.float32)
+        )
+        y = _sym_stream_call(sym, x, 8, interpret=True)
+        assert y.dtype == jnp.float32
+        ref = bsr.matvec(x)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(y, ref, atol=2e-2 * scale)
+
+    def test_stream_wider_band(self):
+        # reach 2: columns r+1 and r+2 — both windows and the carry see
+        # off-strip scatter targets at strip boundaries
+        from eigenex_tpu.ops.pallas_spmv import _sym_stream_call
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+
+        rng = np.random.default_rng(23)
+        nbr, bm = 16, 8
+        n = nbr * bm
+        A = np.zeros((n, n), np.float32)
+        for r in range(nbr):
+            for c in (r, r + 1, r + 2):
+                if c < nbr:
+                    blk = rng.standard_normal((bm, bm)).astype(np.float32)
+                    A[r * bm:(r + 1) * bm, c * bm:(c + 1) * bm] = blk
+        A = (A + A.T) / 2
+        # pad block cols to the 128-lane rule via a larger block? the
+        # interpret path skips the tile checks inside _sym_stream_call,
+        # so bm=8 blocks are fine here
+        sym = sym_bsr_from_bsr(bsr_from_dense(A, (bm, bm)))
+        assert sym.band_reach == 2
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y = _sym_stream_call(sym, x, 4, interpret=True)
+        np.testing.assert_allclose(y, A @ np.asarray(x), rtol=2e-5, atol=1e-4)
+
+    def test_dispatcher_routes_stream_when_resident_disabled(self):
+        bsr = sym_banded_bsr(16, 128)
+        sym = sym_bsr_from_bsr(bsr)
+        x = jnp.asarray(
+            np.random.default_rng(24).standard_normal(bsr.shape[1]).astype(np.float32)
+        )
+        # rows_per=0 disables the resident kernel; band_reach=1 is known,
+        # so the dispatcher must route to the streaming kernel (results
+        # must match the oracle either way)
+        y = sym_bsr_matvec_pallas(sym, x, interpret=True, rows_per=0)
+        np.testing.assert_allclose(y, bsr.matvec(x), rtol=2e-5, atol=1e-4)
+
+    def test_dispatcher_unknown_reach_falls_back(self):
+        bsr = sym_banded_bsr(16, 128)
+        sym0 = sym_bsr_from_bsr(bsr)
+        sym = SymBSRMatrix(
+            sym0.diag_data, sym0.upper_data, sym0.upper_cols, sym0.shape
+        )  # band_reach defaults to -1 (unknown)
+        assert sym.band_reach == -1
+        x = jnp.asarray(
+            np.random.default_rng(25).standard_normal(bsr.shape[1]).astype(np.float32)
+        )
+        y = sym_bsr_matvec_pallas(sym, x, interpret=True, rows_per=0)
+        np.testing.assert_allclose(y, bsr.matvec(x), rtol=2e-5, atol=1e-4)
