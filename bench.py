@@ -124,6 +124,21 @@ def time_dispatch_pipeline(matvec, b, x, reps=4):
     return (best[CHAIN_LONG] - best[CHAIN_SHORT]) / (CHAIN_LONG - CHAIN_SHORT)
 
 
+#: v5e HBM peak bandwidth (GB/s) — the SpMV roofline denominator.  A
+#: matvec is memory-bound at ~1 byte/nnz (bf16 half-traffic storage) to
+#: ~4 (f32 full storage), so rate/roofline = bytes_streamed/dt/PEAK.
+HBM_PEAK_GBS = 819.0
+
+
+def roofline_fraction(rate_nnz_s: float, nnz: int, bytes_per_matvec: int) -> float:
+    """Fraction of HBM peak the measured rate corresponds to, given the
+    minimal bytes the path must stream per matvec (stored blocks + x + y;
+    BASELINE.md round-2 weak item: make the efficiency visible, not just
+    the absolute rate)."""
+    dt = nnz / rate_nnz_s
+    return (bytes_per_matvec / dt) / (HBM_PEAK_GBS * 1e9)
+
+
 def serial_scatter_baseline(nnz_sample: int = 2_000_000) -> float:
     """Reference cost model: serial COO scatter out[row] += in[col]*v
     (triplets_matrix.hpp:314-318) on the host CPU.  Returns nnz/s."""
@@ -158,6 +173,8 @@ def main():
     # on TPU (XLA multiplies f32 matmuls in bf16 by default)
     bsr16 = bsr.astype(jnp.bfloat16)
     rates = {}  # name -> nnz/s
+    path_bytes = {}  # name -> minimal bytes streamed per matvec
+    n = bsr.shape[0]
 
     # flagship: symmetric Pallas kernel (diag + upper storage, each
     # off-diagonal block read once and applied twice — ~1.5x less HBM
@@ -175,6 +192,11 @@ def main():
                 lambda s, v: sym_bsr_matvec_pallas(s, v), sym16, x
             )
             rates["pallas sym bf16"] = nnz / t
+            # streaming-kernel traffic: stored diag+upper blocks bf16,
+            # x read twice (cur+next strip windows, f32), y written once
+            path_bytes["pallas sym bf16"] = (
+                (sym16.diag_data.size + sym16.upper_data.size) * 2 + 3 * n * 4
+            )
         else:
             print(f"# sym pallas disagrees (rel err {err:.2e})", file=sys.stderr)
     except Exception as e:
@@ -182,6 +204,7 @@ def main():
 
     t = time_dispatch_pipeline(lambda b, v: b.matvec(v), bsr16, x)
     rates["xla bf16"] = nnz / t
+    path_bytes["xla bf16"] = bsr16.data.size * 2 + 2 * n * 4
 
     if full:
         try:
@@ -200,24 +223,33 @@ def main():
             print(f"# pallas path unavailable: {type(e).__name__}: {e}", file=sys.stderr)
         rates["xla f32"] = nnz / time_fn(make_chained(lambda b, v: b.matvec(v)), bsr, x)
 
-    nnz_per_s = max(rates.values())
+    best_name = max(rates, key=rates.get)
+    nnz_per_s = rates[best_name]
     baseline = serial_scatter_baseline()
+
+    def fmt(k, v):
+        if k in path_bytes:
+            rf = roofline_fraction(v, nnz, path_bytes[k])
+            return f"{k}: {v/1e9:.2f} Gnnz/s ({rf*100:.0f}% roofline)"
+        return f"{k}: {v/1e9:.2f} Gnnz/s"
+
     print(
         "# "
-        + ", ".join(f"{k}: {v/1e9:.2f} Gnnz/s" for k, v in rates.items())
+        + ", ".join(fmt(k, v) for k, v in rates.items())
         + f", serial-scatter baseline: {baseline/1e6:.1f} Mnnz/s",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "spmv_nnz_per_s",
-                "value": nnz_per_s,
-                "unit": "nnz/s",
-                "vs_baseline": nnz_per_s / baseline,
-            }
+    out = {
+        "metric": "spmv_nnz_per_s",
+        "value": nnz_per_s,
+        "unit": "nnz/s",
+        "vs_baseline": nnz_per_s / baseline,
+    }
+    if best_name in path_bytes:
+        out["roofline_frac"] = round(
+            roofline_fraction(nnz_per_s, nnz, path_bytes[best_name]), 3
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -2,6 +2,7 @@ from .distributed import (
     DistributedKrylovSchurArnoldiSolver,
     DistributedLanczosEigenSolver,
     DistributedLOBPCGSolver,
+    DistributedShiftInvertLanczosEigenSolver,
     DistributedThickRestartLanczosEigenSolver,
     distributed_arnoldi_steps,
     distributed_lanczos_steps,

@@ -75,6 +75,7 @@ __all__ = [
     "distributed_lanczos_steps",
     "distributed_arnoldi_steps",
     "DistributedLanczosEigenSolver",
+    "DistributedShiftInvertLanczosEigenSolver",
     "DistributedThickRestartLanczosEigenSolver",
     "DistributedKrylovSchurArnoldiSolver",
     "halo_matvec",
@@ -523,6 +524,73 @@ class DistributedLanczosEigenSolver(_DistributedBSRSolverMixin, LanczosEigenSolv
             halo_parts=self._halo_parts,
             use_pallas=self.use_pallas,
         )
+
+
+class DistributedShiftInvertLanczosEigenSolver(DistributedLanczosEigenSolver):
+    """Mesh-parallel SHIFT-INVERT Lanczos: each outer Lanczos matvec is a
+    mesh-parallel CG solve of (A − σI) y = x (inner products
+    psum-completed over the row axis) — the BASELINE config-5 pipeline as
+    a driver with the full convergence machinery, reachable from
+    ``eigsh(A, k, sigma=σ, mesh=mesh)``.
+
+    The Ritz values this driver returns are the θ of (A − σI)⁻¹; its
+    :meth:`compute` back-transforms them to λ = σ + 1/θ (eigenvectors are
+    shared between the two operators, so they pass through unchanged).
+    The inner solve is CG, so σ should sit outside or at the edge of the
+    spectrum (the definite-shift regime — e.g. below the ground state);
+    interior σ makes (A − σI) indefinite, where the single-device
+    GMRES-backed ``eigsh(sigma=...)`` route is the right tool.
+
+    ``cg_tol`` is the ``inner_tol`` knob of the one-call API: the outer
+    eigenvalue error tracks the inner residual target (reference shift
+    semantics: lanczos.hpp:155,390-392)."""
+
+    def __init__(
+        self,
+        bsr: BSRMatrix,
+        mesh: Mesh | None = None,
+        options: LanczosOptions | None = None,
+        axis_name: str = ROWS,
+        matvec_mode: str = "allgather",
+        use_pallas: bool | str = False,
+        *,
+        sigma: float,
+        cg_tol: float = 1e-10,
+        cg_max_iters: int = 5000,
+    ):
+        super().__init__(bsr, mesh, options, axis_name, matvec_mode, use_pallas)
+        self.sigma = float(sigma)
+        self.cg_tol = float(cg_tol)
+        self.cg_max_iters = int(cg_max_iters)
+
+    def _run_chunk(self, op, state, num_steps, breakdown_threshold):
+        o = self.options
+        return distributed_lanczos_steps(
+            self.bsr,
+            state,
+            num_steps,
+            self.mesh,
+            axis_name=self.axis_name,
+            shift=o.eigenvalue_shift,
+            breakdown_threshold=breakdown_threshold,
+            reorthogonalize_interval=o.reorthogonalize_interval,
+            deflate=self._deflate,
+            matvec_mode=self.matvec_mode,
+            halo_parts=self._halo_parts,
+            use_pallas=self.use_pallas,
+            shift_invert_sigma=self.sigma,
+            cg_tol=self.cg_tol,
+            cg_max_iters=self.cg_max_iters,
+        )
+
+    def compute(self, *args, **kwargs):
+        res = super().compute(*args, **kwargs)  # mixin slices padding rows
+        theta = np.asarray(res.eigenvalues)
+        nonzero = np.abs(theta) > 0
+        res.eigenvalues = np.where(
+            nonzero, self.sigma + 1.0 / np.where(nonzero, theta, 1.0), np.inf
+        )
+        return res
 
 
 # ---------------------------------------------------------------------------

@@ -149,12 +149,40 @@ def eigsh(
 
     if mesh is not None:
         if sigma is not None:
-            raise EigenexError(
-                "sigma with mesh= is not routed here — use "
-                "parallel.distributed.distributed_lanczos_steps("
-                "shift_invert_sigma=...) for the distributed shift-invert "
-                "pipeline"
-            )
+            # Distributed shift-invert: every outer Lanczos matvec is a
+            # mesh-parallel CG solve of (A − σI) y = x with psum-completed
+            # inner products — the BASELINE config-5 pipeline in one call.
+            # CG needs a definite shift, so σ should sit outside / at the
+            # edge of the spectrum (ground-state targeting); for interior
+            # σ use the single-device GMRES route (drop mesh=).
+            from ..parallel.distributed import DistributedShiftInvertLanczosEigenSolver
+
+            if inner_tol is None:
+                from ..utils.tolerance import default_tolerance
+
+                outer = tol if tol is not None else default_tolerance(op.dtype)
+                inner_tol = max(outer * 1e-2, 1e-14)
+            bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
+            m = min(max_subspace or max(4 * k + 16, 32), n)
+            kk = min(k, m // 2 - 1) if m // 2 - 1 > 0 else k
+            both_ends = tuple(range(kk)) + tuple(range(-kk, 0))
+            res = DistributedShiftInvertLanczosEigenSolver(
+                bsr_op,
+                mesh,
+                LanczosOptions(
+                    max_eigenvalues=2 * kk, eigenvalue_indices=both_ends,
+                    tolerance=tol, max_subspace=m, seed=seed,
+                ),
+                axis_name=mesh.axis_names[0],
+                matvec_mode=matvec_mode,
+                sigma=float(np.real(sigma)),
+                cg_tol=inner_tol,
+            ).compute()
+            if res.eigenvectors is not None and res.eigenvectors.shape[0] != n:
+                res.eigenvectors = res.eigenvectors[:n]
+            lam_all = np.asarray(res.eigenvalues)
+            res = _select_nearest_sigma(res, lam_all, sigma, k)
+            return _maybe_refine_hermitian(res, coo, refine)
         from ..parallel.distributed import DistributedThickRestartLanczosEigenSolver
 
         bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
@@ -208,17 +236,7 @@ def eigsh(
         theta = np.asarray(res.eigenvalues)
         nonzero = np.abs(theta) > 0
         lam_all = np.where(nonzero, float(np.real(sigma)) + 1.0 / np.where(nonzero, theta, 1.0), np.inf)
-        pick = np.argsort(np.abs(lam_all - float(np.real(sigma))))[:k]
-        order = pick[np.argsort(lam_all[pick])]
-        vecs = res.eigenvectors[:, order] if res.eigenvectors is not None else None
-        res = LanczosResult(
-            eigenvalues=lam_all[order],
-            eigenvectors=vecs,
-            iterations=res.iterations,
-            converged=res.converged,
-            termination=res.termination,
-            trace=res.trace,
-        )
+        res = _select_nearest_sigma(res, lam_all, sigma, k)
         return _maybe_refine_hermitian(res, coo, refine)
 
     indices = tuple(range(k)) if which == "SA" else tuple(range(-k, 0))
@@ -241,6 +259,22 @@ def eigsh(
             ),
         ).compute()
     return _maybe_refine_hermitian(res, coo, refine)
+
+
+def _select_nearest_sigma(res: LanczosResult, lam_all, sigma, k: int) -> LanczosResult:
+    """Keep the k pairs nearest σ (ascending λ order), dropping the rest
+    of the tracked both-ends Ritz set."""
+    pick = np.argsort(np.abs(lam_all - float(np.real(sigma))))[:k]
+    order = pick[np.argsort(lam_all[pick])]
+    vecs = res.eigenvectors[:, order] if res.eigenvectors is not None else None
+    return LanczosResult(
+        eigenvalues=lam_all[order],
+        eigenvectors=vecs,
+        iterations=res.iterations,
+        converged=res.converged,
+        termination=res.termination,
+        trace=res.trace,
+    )
 
 
 def _maybe_refine_hermitian(res: LanczosResult, coo, refine) -> LanczosResult:

@@ -107,6 +107,32 @@ def test_eigsh_mesh_routes_distributed():
     np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-9)
 
 
+def test_eigsh_sigma_mesh_one_call_config5():
+    """BASELINE config 5 in ONE call: eigsh(A, k, sigma=σ, mesh=mesh)
+    routes to the distributed CG shift-invert Lanczos (each matvec a
+    mesh-parallel CG solve, halo SpMV, psum'd Gram-Schmidt) and
+    back-transforms λ = σ + 1/θ."""
+    import jax
+    from jax.sharding import Mesh
+
+    coo, A = _laplacian_coo(512)
+    mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+    # sigma just below lambda_1: definite shift (the CG regime), and the
+    # two lowest pairs are the ones nearest sigma
+    res = eigsh(
+        coo, k=2, sigma=-1e-4, tol=1e-13, inner_tol=1e-13, mesh=mesh,
+        matvec_mode="halo", block_shape=(4, 4), max_subspace=32,
+    )
+    exact = [2 - 2 * np.cos((j + 1) * np.pi / 513) for j in range(2)]
+    np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-9)
+    # Ritz vectors come back at the ORIGINAL length with true residuals
+    assert res.eigenvectors.shape == (512, 2)
+    for j in range(2):
+        v = np.asarray(res.eigenvectors[:, j])
+        r = np.linalg.norm(A @ v - res.eigenvalues[j] * v)
+        assert r < 1e-7, f"pair {j} residual {r:.2e}"
+
+
 def test_eigs_mesh_routes_distributed(key):
     import jax
     from jax.sharding import Mesh
