@@ -102,8 +102,12 @@ def eigsh(
 ) -> LanczosResult:
     """k extremal (or σ-targeted) eigenpairs of a Hermitian operator.
 
-    which: "SA" (smallest algebraic) or "LA" (largest algebraic);
-    ignored when ``sigma`` is given (returns the pairs nearest σ).
+    which: "SA" (smallest algebraic), "LA" (largest algebraic), "BE"
+    (both ends, k split half/half with the extra pair on the high end),
+    "LM" (largest magnitude — both ends tracked, k selected by |λ|), or
+    "SM" (smallest magnitude = shift-invert at σ=0, scipy's own
+    recipe); ignored when ``sigma`` is given (returns the pairs nearest
+    σ).  Results are always in ascending-λ order (scipy convention).
     M: Hermitian positive-definite right-hand operator of the
     GENERALIZED problem ``A x = λ M x`` — routes to the block
     preconditioned LOBPCG driver (:func:`~eigenex_tpu.solvers.lobpcg.lobpcg`),
@@ -119,14 +123,25 @@ def eigsh(
     n = op.shape[0]
     if op.shape[0] != op.shape[1]:
         raise EigenexError("eigsh requires a square operator")
-    if which not in ("SA", "LA"):
-        raise EigenexError(f"which must be 'SA' or 'LA', got {which!r}")
+    if which not in ("SA", "LA", "BE", "LM", "SM"):
+        raise EigenexError(
+            f"which must be one of 'SA', 'LA', 'BE', 'LM', 'SM', got {which!r}"
+        )
+    if which == "SM" and sigma is None:
+        # smallest magnitude = pairs nearest 0: reuse the shift-invert
+        # machinery with sigma = 0 (scipy/ARPACK's own recommendation)
+        sigma = 0.0
 
     if M is not None or preconditioner is not None:
         if sigma is not None or mesh is not None:
             raise EigenexError(
                 "M=/preconditioner= (the LOBPCG route) cannot be combined "
                 "with sigma= or mesh="
+            )
+        if which not in ("SA", "LA"):
+            raise EigenexError(
+                "the LOBPCG route targets spectrum extremes only: use "
+                "which='SA' or 'LA' with M=/preconditioner="
             )
         from .lobpcg import lobpcg
 
@@ -186,14 +201,14 @@ def eigsh(
         from ..parallel.distributed import DistributedThickRestartLanczosEigenSolver
 
         bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
-        indices = tuple(range(k)) if which == "SA" else tuple(range(-k, 0))
-        m = min(max_subspace or max(6 * k + 32, 64), n)
+        indices, n_track, lm_post = _which_indices(which, k)
+        m = min(max_subspace or max(6 * n_track + 32, 64), n)
         axis_name = mesh.axis_names[0]
         res = DistributedThickRestartLanczosEigenSolver(
             bsr_op,
             mesh,
             ThickRestartOptions(
-                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_eigenvalues=n_track, eigenvalue_indices=indices, tolerance=tol,
                 max_subspace=m, max_restarts=max_restarts, seed=seed,
             ),
             axis_name=axis_name,
@@ -203,6 +218,8 @@ def eigsh(
             # BSR conversion may have padded the operand before the mesh
             # padding the driver already undoes — slice to the true n
             res.eigenvectors = res.eigenvectors[:n]
+        if lm_post:
+            res = _postselect_lm(res, k)
         return _maybe_refine_hermitian(res, coo, refine)
 
     if sigma is not None:
@@ -239,14 +256,14 @@ def eigsh(
         res = _select_nearest_sigma(res, lam_all, sigma, k)
         return _maybe_refine_hermitian(res, coo, refine)
 
-    indices = tuple(range(k)) if which == "SA" else tuple(range(-k, 0))
-    m = min(max_subspace or max(6 * k + 32, 64), n)
+    indices, n_track, lm_post = _which_indices(which, k)
+    m = min(max_subspace or max(6 * n_track + 32, 64), n)
     if m >= n:
         # full subspace available: plain Lanczos terminates exactly
         res = LanczosEigenSolver(
             op,
             LanczosOptions(
-                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_eigenvalues=n_track, eigenvalue_indices=indices, tolerance=tol,
                 max_subspace=n, seed=seed,
             ),
         ).compute()
@@ -254,11 +271,45 @@ def eigsh(
         res = ThickRestartLanczosEigenSolver(
             op,
             ThickRestartOptions(
-                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_eigenvalues=n_track, eigenvalue_indices=indices, tolerance=tol,
                 max_subspace=m, max_restarts=max_restarts, seed=seed,
             ),
         ).compute()
+    if lm_post:
+        res = _postselect_lm(res, k)
     return _maybe_refine_hermitian(res, coo, refine)
+
+
+def _which_indices(which: str, k: int):
+    """(tracked Ritz indices, tracked count, lm_postselect) for the
+    Hermitian ``which`` modes.  BE splits k over both ends (extra pair to
+    the high end on odd k, scipy convention); LM tracks k from each end
+    and post-selects by |λ|."""
+    if which == "SA":
+        return tuple(range(k)), k, False
+    if which == "LA":
+        return tuple(range(-k, 0)), k, False
+    if which == "BE":
+        kl = k // 2
+        return tuple(range(kl)) + tuple(range(-(k - kl), 0)), k, False
+    return tuple(range(k)) + tuple(range(-k, 0)), 2 * k, True  # LM
+
+
+def _postselect_lm(res: LanczosResult, k: int) -> LanczosResult:
+    """Keep the k largest-|λ| pairs of the both-ends tracked set,
+    returned in ascending order (scipy eigsh convention)."""
+    lam = np.asarray(res.eigenvalues)
+    pick = np.argsort(-np.abs(lam), kind="stable")[:k]
+    order = pick[np.argsort(lam[pick])]
+    vecs = res.eigenvectors[:, order] if res.eigenvectors is not None else None
+    return LanczosResult(
+        eigenvalues=lam[order],
+        eigenvectors=vecs,
+        iterations=res.iterations,
+        converged=res.converged,
+        termination=res.termination,
+        trace=res.trace,
+    )
 
 
 def _select_nearest_sigma(res: LanczosResult, lam_all, sigma, k: int) -> LanczosResult:

@@ -164,6 +164,34 @@ class SymBSRMatrix:
             matmat_fn=_sym_matmat,
         )
 
+    # -- spectral-range estimation ---------------------------------------
+    def gershgorin_discs(self):
+        """Per-row Gershgorin (center, radius) on half-storage: the
+        strictly-upper blocks contribute their row sums to their own rows
+        AND their column sums to the mirror rows (the |Bᴴ| contribution
+        of the lower triangle that is never stored).  Block analog of
+        makeGershgorinDiscs (triplets_matrix.hpp:486-510)."""
+        bm, bn = self.block_shape
+        absd = jnp.abs(self.diag_data)  # (nbr, bm, bm)
+        row_abs = absd.sum(axis=2)  # (nbr, bm)
+        au = jnp.abs(self.upper_data)  # (nbr, ku, bm, bn)
+        row_abs = row_abs + au.sum(axis=(1, 3))
+        # mirror: |Bᴴ| row sums = |B| column sums, scattered to block c
+        # (padding slots: col 0, zero blocks — add nothing)
+        col_contrib = au.sum(axis=2)  # (nbr, ku, bn)
+        row_abs = row_abs.at[self.upper_cols].add(col_contrib)
+        centers = jnp.diagonal(self.diag_data, axis1=1, axis2=2)  # (nbr, bm)
+        radii = row_abs - jnp.abs(centers)
+        return centers.reshape(-1), radii.reshape(-1)
+
+    def estimate_eigenvalue_range(self):
+        """[min, max] eigenvalue bounds from the Gershgorin discs (cf.
+        estimateEigenvalueRange triplets_matrix.hpp:512-540) — feeds the
+        Chebyshev/KPM spectral mapping without touching full storage."""
+        centers, radii = self.gershgorin_discs()
+        re = jnp.real(centers)
+        return jnp.min(re - radii), jnp.max(re + radii)
+
     def to_dense(self) -> jax.Array:
         bm, bn = self.block_shape
         nbr = self.n_block_rows

@@ -56,7 +56,7 @@ def test_eigs_dominant(key):
 
 def test_which_validation(key):
     with pytest.raises(EigenexError):
-        eigsh(random_hermitian(key, 4, jnp.float64), k=1, which="SM")
+        eigsh(random_hermitian(key, 4, jnp.float64), k=1, which="XX")
 
 
 def test_eigsh_sigma_nearest_below(key):
@@ -253,3 +253,51 @@ class TestSvds:
 
         with pytest.raises(EigenexError):
             svds(rng.standard_normal((6, 4)), k=5)
+
+
+# ---------------------------------------------------------------------------
+# scipy `which` parity (round 3): BE / LM / SM
+# ---------------------------------------------------------------------------
+class TestWhichParity:
+    def _op(self, n=80, seed=3):
+        rng = np.random.default_rng(seed)
+        # spectrum straddling zero with distinct |lambda| structure
+        d = np.concatenate([np.linspace(-3.0, -0.4, n // 2), np.linspace(0.2, 4.0, n - n // 2)])
+        Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        A = Q @ np.diag(d) @ Q.T
+        return jnp.asarray((A + A.T) / 2), np.sort(d)
+
+    def test_be_both_ends(self):
+        A, d = self._op()
+        res = eigsh(A, k=5, which="BE", tol=1e-12)
+        want = np.sort(np.concatenate([d[:2], d[-3:]]))  # kl=2 low, kh=3 high
+        np.testing.assert_allclose(res.eigenvalues, want, atol=1e-8)
+
+    def test_lm_largest_magnitude(self):
+        A, d = self._op()
+        res = eigsh(A, k=4, which="LM", tol=1e-12)
+        want = np.sort(d[np.argsort(-np.abs(d))[:4]])
+        np.testing.assert_allclose(res.eigenvalues, want, atol=1e-8)
+        assert np.all(np.diff(res.eigenvalues) > 0)  # ascending
+
+    def test_sm_smallest_magnitude(self):
+        A, d = self._op()
+        res = eigsh(A, k=3, which="SM", tol=1e-12)
+        want = np.sort(d[np.argsort(np.abs(d))[:3]])
+        np.testing.assert_allclose(res.eigenvalues, want, atol=1e-7)
+
+    def test_lm_mesh_route(self):
+        import jax
+        from jax.sharding import Mesh
+
+        coo, A = _laplacian_coo(96)  # PD: LM == LA here
+        mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+        res = eigsh(coo, k=2, which="LM", tol=1e-13, mesh=mesh,
+                    max_subspace=64, max_restarts=300, block_shape=(4, 4))
+        exact = np.sort([2 - 2 * np.cos(j * np.pi / 97) for j in (95, 96)])
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-8)
+
+    def test_lobpcg_route_rejects_be(self):
+        A, _ = self._op(32)
+        with pytest.raises(EigenexError):
+            eigsh(A, k=2, which="BE", preconditioner=lambda X: X)
