@@ -79,7 +79,10 @@ __all__ = [
     "DistributedThickRestartLanczosEigenSolver",
     "DistributedKrylovSchurArnoldiSolver",
     "halo_matvec",
+    "halo_matmat",
     "sym_halo_matvec",
+    "sym_halo_matmat",
+    "mesh_operator",
     "split_bsr_halo",
     "split_sym_bsr_halo",
     "split_bsr_colpanels",
@@ -1006,6 +1009,210 @@ def split_bsr_colpanels(bsr: BSRMatrix, n_shards: int):
     return (
         jnp.asarray(out_d.reshape(n_shards * nbr, kmax_p, bm, bn)),
         jnp.asarray(out_c.reshape(n_shards * nbr, kmax_p)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed SpMM (matmat) twins of the four matvec modes + the
+# global-array mesh operator that powers mesh-aware Chebyshev/KPM/LOBPCG
+# ---------------------------------------------------------------------------
+def _local_allgather_matmat(params, X_local, *, axis_name, bn, use_pallas=False):
+    """Multi-RHS twin of :func:`_local_allgather_matvec`: gather all X
+    row shards, apply the local block rows.  Runs inside shard_map."""
+    data, cols = params
+    X = lax.all_gather(X_local, axis_name, tiled=True)  # (n, p)
+    return _local_ell_spmm(data, cols, X)
+
+
+def _local_colsplit_matmat(params, X_local, *, axis_name, bn, use_pallas=False):
+    """Column-panel SpMM + ``psum_scatter`` along the row axis — the
+    reduce_scatter dual, multi-RHS.  Runs inside shard_map."""
+    data, cols = params
+    Y_partial = _local_ell_spmm(data, cols, X_local)  # (n, p) partial
+    return lax.psum_scatter(Y_partial, axis_name, scatter_dimension=0, tiled=True)
+
+
+def halo_matmat(
+    diag_data, diag_cols, left_data, left_cols, right_data, right_cols,
+    X_local, *, axis_name: str = ROWS, bn: int,
+):
+    """Multi-RHS twin of :func:`halo_matvec`: two ppermute ring shifts
+    move whole X row-shard PANELS; the diagonal-part SpMM needs no remote
+    data and overlaps the transfers (same schedule argument as the
+    matvec, tests/test_hlo_overlap.py).  Runs inside shard_map."""
+    n_dev = lax.psum(1, axis_name)
+    right_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    X_from_left = lax.ppermute(X_local, axis_name, right_perm)
+    X_from_right = lax.ppermute(X_local, axis_name, left_perm)
+    with jax.named_scope("halo_diag_spmm"):
+        Y = _local_ell_spmm(diag_data, diag_cols, X_local)
+    Y = Y + _local_ell_spmm(left_data, left_cols, X_from_left)
+    Y = Y + _local_ell_spmm(right_data, right_cols, X_from_right)
+    return Y
+
+
+def _local_sym_matmat(diag, ud, uc, X, use_pallas):
+    from ..sparse.sym_bsr import SymBSRMatrix
+
+    n_local = diag.shape[0] * diag.shape[1]
+    sym_local = SymBSRMatrix(diag, ud, uc, (n_local, n_local))
+    if use_pallas:
+        from ..ops.pallas_spmv import sym_bsr_matmat_pallas
+
+        return sym_bsr_matmat_pallas(sym_local, X, interpret=use_pallas == "interpret")
+    return sym_local._xla_matmat(X)
+
+
+def sym_halo_matmat(
+    diag, ud, uc, rd, rc, X_local, *, axis_name: str = ROWS, bn: int,
+    use_pallas=False,
+):
+    """Multi-RHS twin of :func:`sym_halo_matvec`: forward X-panel halo +
+    reverse halo of the BᴴX partial-Y panel — half-HBM-traffic symmetric
+    storage on the mesh for the block-filter solvers (Chebyshev/KPM/
+    LOBPCG feed).  Runs inside shard_map."""
+    n_dev = lax.psum(1, axis_name)
+    right_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    left_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    X_from_right = lax.ppermute(X_local, axis_name, left_perm)
+    acc = _acc_dtype_of(diag.dtype)
+    p = X_local.shape[1]
+
+    with jax.named_scope("sym_halo_local_spmm"):
+        Y = _local_sym_matmat(diag, ud, uc, X_local, use_pallas)
+
+    # boundary: Y[r] += B X_next[c]
+    Y = Y + _local_ell_spmm(rd, rc, X_from_right)
+
+    # reverse contribution Y_next[c] += Bᴴ X[r]
+    Xb = X_local.reshape(-1, bn, p)
+    rdh = jnp.conj(rd) if jnp.issubdtype(rd.dtype, jnp.complexfloating) else rd
+    contrib = jnp.einsum(
+        "rkij,rip->rkjp", rdh, Xb.astype(rd.dtype), preferred_element_type=acc
+    )  # (nbr_local, k, bn, p)
+    nbc_next = X_from_right.shape[0] // bn
+    YC = (
+        jnp.zeros((nbc_next, bn, p), acc)
+        .at[rc]
+        .add(contrib.astype(acc))
+        .reshape(-1, p)
+    )
+    Y = Y + lax.ppermute(YC, axis_name, right_perm)
+    return Y
+
+
+_MESH_OP_CACHE: dict = {}
+
+
+def _get_mesh_apply(mesh, axis_name, mode, bn, use_pallas, n_op_args, matmat: bool):
+    key = (mesh, axis_name, mode, bn, use_pallas, matmat)
+    fn = _MESH_OP_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def body(*args):
+        op_arrays, x_local = args[:-1], args[-1]
+        if mode == "allgather":
+            f = _local_allgather_matmat if matmat else _local_allgather_matvec
+            return f(op_arrays, x_local, axis_name=axis_name, bn=bn, use_pallas=use_pallas)
+        if mode == "colsplit":
+            f = _local_colsplit_matmat if matmat else _local_colsplit_matvec
+            return f(op_arrays, x_local, axis_name=axis_name, bn=bn, use_pallas=use_pallas)
+        if mode == "halo":
+            f = halo_matmat if matmat else halo_matvec
+            return f(*op_arrays, x_local, axis_name=axis_name, bn=bn)
+        f = sym_halo_matmat if matmat else sym_halo_matvec
+        return f(*op_arrays, x_local, axis_name=axis_name, bn=bn, use_pallas=use_pallas)
+
+    x_spec = P(axis_name, None) if matmat else P(axis_name)
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * n_op_args + (x_spec,),
+        out_specs=x_spec,
+        check_vma=not use_pallas,
+    )
+    fn = jax.jit(sharded)
+    _MESH_OP_CACHE[key] = fn
+    return fn
+
+
+def _call_mesh_fn(fn, op_arrays, x):
+    # fn is bound via functools.partial so it rides in the operator's
+    # STATIC aux (params stay a pure array pytree — jit-safe)
+    return fn(*op_arrays, x)
+
+
+def _split_for_mode(bsr, matvec_mode, nd):
+    """(op_arrays, bn) — the host-side split shared by the chunk runners
+    and :func:`mesh_operator`."""
+    from ..sparse.sym_bsr import SymBSRMatrix, sym_bsr_from_bsr
+
+    if matvec_mode == "halo":
+        d, l, r = split_bsr_halo(bsr, nd)
+        return (d[0], d[1], l[0], l[1], r[0], r[1]), bsr.block_shape[1]
+    if matvec_mode == "sym_halo":
+        sym = bsr if isinstance(bsr, SymBSRMatrix) else sym_bsr_from_bsr(bsr)
+        dg, inp, rt = split_sym_bsr_halo(sym, nd)
+        return (dg, inp[0], inp[1], rt[0], rt[1]), sym.block_shape[1]
+    if matvec_mode == "colsplit":
+        pd, pc = split_bsr_colpanels(bsr, nd)
+        return (pd, pc), bsr.block_shape[1]
+    return (bsr.data, bsr.block_cols), bsr.block_shape[1]
+
+
+def mesh_operator(
+    A,
+    mesh: Mesh | None = None,
+    *,
+    axis_name: str = ROWS,
+    matvec_mode: str = "allgather",
+    use_pallas: bool | str = False,
+) -> LinearOperator:
+    """A global-array :class:`LinearOperator` whose ``matvec`` AND
+    ``matmat`` run shard_map'd over ``mesh`` (row-partitioned operator,
+    row-sharded vectors/panels) — the operand that makes every
+    matvec/matmat-driven solver in the library mesh-parallel without
+    code changes: Chebyshev window filtering, KPM moments, subspace
+    iteration, user code.
+
+    ``A``: a :class:`BSRMatrix` (any mode) or :class:`SymBSRMatrix`
+    (``matvec_mode='sym_halo'``) whose block rows divide the mesh — use
+    :func:`pad_bsr_for_mesh` first (and a padding-supported start block;
+    the mesh-aware front ends in :mod:`eigenex_tpu.solvers.chebyshev` /
+    ``kpm`` handle both automatically)."""
+    from ..sparse.sym_bsr import SymBSRMatrix
+
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    nd = mesh.shape[axis_name]
+    if matvec_mode not in ("allgather", "colsplit", "halo", "sym_halo"):
+        raise EigenexError(f"unknown matvec_mode {matvec_mode!r}")
+    if isinstance(A, SymBSRMatrix) and matvec_mode != "sym_halo":
+        raise EigenexError("a SymBSRMatrix operand requires matvec_mode='sym_halo'")
+    if A.n_block_rows % nd:
+        raise EigenexError(
+            f"{A.n_block_rows} block rows not divisible by {nd} shards — "
+            "use pad_bsr_for_mesh first"
+        )
+    op_arrays, bn = _split_for_mode(A, matvec_mode, nd)
+    n_op_args = len(op_arrays)
+    mv = partial(
+        _call_mesh_fn,
+        _get_mesh_apply(mesh, axis_name, matvec_mode, bn, use_pallas, n_op_args, False),
+    )
+    mm = partial(
+        _call_mesh_fn,
+        _get_mesh_apply(mesh, axis_name, matvec_mode, bn, use_pallas, n_op_args, True),
+    )
+    dtype = _acc_dtype_of(A.dtype)
+    return LinearOperator(
+        mv,
+        op_arrays,
+        A.shape,
+        dtype,
+        rmatvec_fn=mv if isinstance(A, SymBSRMatrix) else None,
+        matmat_fn=mm,
     )
 
 

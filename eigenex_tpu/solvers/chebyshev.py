@@ -46,6 +46,8 @@ __all__ = [
     "chebyshev_filter_apply",
     "chebyshev_bandpass_apply",
     "eigsh_window",
+    "cholesky_qr2",
+    "as_filter_operator",
 ]
 
 
@@ -153,6 +155,44 @@ class ChebyshevFilterOptions:
     spectral_bounds: tuple[float, float] | None = None
 
 
+def _qr_orthonormalize(X):
+    return jnp.linalg.qr(X)[0]
+
+
+def as_filter_operator(A) -> LinearOperator:
+    """Coerce dense / LinearOperator / sparse-container operands — the
+    containers go through ``as_linear_operator()`` so their Gershgorin
+    range stays reachable via ``op._params``."""
+    if hasattr(A, "as_linear_operator"):
+        return A.as_linear_operator()
+    return aslinearoperator(A)
+
+
+@jax.jit
+def cholesky_qr2(X):
+    """Orthonormalize a tall block by TWO rounds of (shifted) Cholesky QR
+    — only (b, b) Grams and right triangular solves touch the column
+    dimension, so a row-sharded X stays row-sharded (tall-skinny
+    ``jnp.linalg.qr`` would gather the panel to one device).  The second
+    round restores orthogonality to working precision for the moderate
+    condition numbers a filtered block has after its previous
+    orthonormalization; a tiny trace-scaled ridge keeps the first
+    Cholesky from failing on near-rank-deficient blocks."""
+
+    def one(X):
+        G = X.conj().T @ X
+        b = G.shape[0]
+        eps = jnp.finfo(X.dtype).eps
+        ridge = 10.0 * b * eps * (jnp.trace(jnp.real(G)) / b + eps)
+        L = jnp.linalg.cholesky(G + ridge * jnp.eye(b, dtype=G.dtype))
+        # Q = X · L^{-H}: right-side triangular solve, row-local in X
+        return jax.lax.linalg.triangular_solve(
+            L.conj().T, X, left_side=False, lower=False
+        )
+
+    return one(one(X))
+
+
 @jax.jit
 def _rr_stage(op: LinearOperator, Q):
     """Rayleigh–Ritz on an orthonormal block: H = Qᴴ A Q (+ AQ reused
@@ -190,11 +230,20 @@ class ChebyshevFilterSolver:
         options: ChebyshevFilterOptions | None = None,
         *,
         block_size: int = 8,
+        initial_block: jax.Array | None = None,
+        orthonormalize=None,
     ):
-        self.operator = aslinearoperator(operator) if operator is not None else None
+        self.operator = as_filter_operator(operator) if operator is not None else None
         self.window = window
         self.options = options or ChebyshevFilterOptions()
         self.block_size = int(block_size)
+        #: start block override (n, block_size) — the mesh front end uses
+        #: a padding-supported block so zero-padded rows stay invariant
+        self.initial_block = initial_block
+        #: orthonormalization X -> Q override; default tall-skinny QR.
+        #: The mesh route substitutes CholeskyQR2 (row-local + small
+        #: Grams) so the panel never gathers to one device.
+        self.orthonormalize = orthonormalize or _qr_orthonormalize
         self.trace = ConvergenceTrace()
         self._result: LanczosResult | None = None
 
@@ -223,7 +272,7 @@ class ChebyshevFilterSolver:
 
     def compute(self, operator=None) -> LanczosResult:
         if operator is not None:
-            self.operator = aslinearoperator(operator)
+            self.operator = as_filter_operator(operator)
         op = self.operator
         if op is None:
             raise LanczosError("no operator set")
@@ -248,7 +297,15 @@ class ChebyshevFilterSolver:
         self.trace = ConvergenceTrace()
         t0 = time.perf_counter()
 
-        X = random_matrix(jax.random.PRNGKey(o.seed), b, n, dtype).T
+        if self.initial_block is not None:
+            if self.initial_block.shape != (n, b):
+                raise LanczosError(
+                    f"initial_block must be (n, block_size) = ({n}, {b}), "
+                    f"got {self.initial_block.shape}"
+                )
+            X = jnp.asarray(self.initial_block, dtype)
+        else:
+            X = random_matrix(jax.random.PRNGKey(o.seed), b, n, dtype).T
         lam = np.zeros(b)
         scale = max(abs(lam_min), abs(lam_max), 1.0)
         termination = None
@@ -273,7 +330,7 @@ class ChebyshevFilterSolver:
             X = chebyshev_bandpass_apply(
                 op, X, lo_m, hi_m, coeffs, degree=o.degree
             )
-            Q, _ = jnp.linalg.qr(X)
+            Q = self.orthonormalize(X)
             AQ, H = _rr_stage(op, Q)
             Hh = np.asarray(H, np.complex128 if jnp.iscomplexobj(H) else np.float64)
             Hh = (Hh + Hh.conj().T) / 2
@@ -348,6 +405,43 @@ class ChebyshevFilterSolver:
         return self._result
 
 
+def mesh_filter_operand(A, mesh, matvec_mode, spectral_bounds, seed, use_pallas=False):
+    """(mesh LinearOperator, orig_n, padded_n, bounds) shared by the
+    mesh-aware Chebyshev/KPM front ends: pad the container for the mesh,
+    take spectral bounds from the ORIGINAL operator (its Gershgorin if
+    available — padding adds eigenvalue 0 but a padding-supported start
+    block never touches that invariant subspace), and build the
+    global-array shard_map operator for the SpMM chains."""
+    from ..parallel.distributed import mesh_operator, pad_bsr_for_mesh
+    from ..sparse.bsr import BSRMatrix
+    from ..sparse.sym_bsr import SymBSRMatrix
+
+    if not isinstance(A, (BSRMatrix, SymBSRMatrix)):
+        raise LanczosError(
+            "mesh= requires a block-sparse operand (BSRMatrix or "
+            "SymBSRMatrix) so the operator's rows can be partitioned"
+        )
+    orig_n = A.shape[0]
+    if spectral_bounds is not None:
+        bounds = (float(spectral_bounds[0]), float(spectral_bounds[1]))
+    else:
+        lo, hi = A.estimate_eigenvalue_range()
+        bounds = (float(lo), float(hi))
+    axis = mesh.axis_names[0]
+    padded = pad_bsr_for_mesh(A, mesh.shape[axis])
+    op = mesh_operator(
+        padded, mesh, axis_name=axis, matvec_mode=matvec_mode, use_pallas=use_pallas
+    )
+    return op, orig_n, padded.shape[0], bounds
+
+
+def _padding_safe_block(orig_n, padded_n, b, dtype, seed):
+    X0 = random_matrix(jax.random.PRNGKey(seed), b, orig_n, dtype).T
+    if padded_n == orig_n:
+        return X0
+    return jnp.zeros((padded_n, b), dtype).at[:orig_n].set(X0)
+
+
 def eigsh_window(
     A,
     window: tuple[float, float],
@@ -358,21 +452,52 @@ def eigsh_window(
     max_iterations: int = 100,
     spectral_bounds: tuple[float, float] | None = None,
     seed: int = 0,
+    mesh=None,
+    matvec_mode: str = "allgather",
+    use_pallas: bool | str = False,
 ) -> LanczosResult:
     """All eigenpairs of a Hermitian operator inside ``window`` (up to
     ``block_size`` of them) by Chebyshev-filtered subspace iteration —
     the solve-free alternative to ``eigsh(sigma=…)`` for interior
     windows.  ``block_size`` should exceed the expected eigenvalue count
-    in the window by a few vectors of slack."""
-    return ChebyshevFilterSolver(
-        A,
+    in the window by a few vectors of slack.
+
+    ``mesh``: a ``jax.sharding.Mesh`` runs every SpMM of the filter
+    chain row-partitioned over the device mesh (block-sparse operands
+    only; ``matvec_mode`` as in the distributed Lanczos drivers) with
+    CholeskyQR2 panel orthonormalization — the filter is a pure matmat
+    chain, the most mesh-friendly solver in the library."""
+    if mesh is None:
+        return ChebyshevFilterSolver(
+            A,
+            window,
+            ChebyshevFilterOptions(
+                degree=degree,
+                tolerance=tol,
+                max_iterations=max_iterations,
+                seed=seed,
+                spectral_bounds=spectral_bounds,
+            ),
+            block_size=block_size,
+        ).compute()
+    op, orig_n, padded_n, bounds = mesh_filter_operand(
+        A, mesh, matvec_mode, spectral_bounds, seed, use_pallas
+    )
+    X0 = _padding_safe_block(orig_n, padded_n, block_size, op.dtype, seed)
+    res = ChebyshevFilterSolver(
+        op,
         window,
         ChebyshevFilterOptions(
             degree=degree,
             tolerance=tol,
             max_iterations=max_iterations,
             seed=seed,
-            spectral_bounds=spectral_bounds,
+            spectral_bounds=bounds,
         ),
         block_size=block_size,
+        initial_block=X0,
+        orthonormalize=cholesky_qr2,
     ).compute()
+    if res.eigenvectors is not None and res.eigenvectors.shape[0] != orig_n:
+        res.eigenvectors = res.eigenvectors[:orig_n]
+    return res

@@ -31,7 +31,7 @@ from ..core.operators import LinearOperator, aslinearoperator
 from ..utils.exceptions import LanczosError
 from ..utils.prng import random_matrix
 from ..utils.tolerance import real_dtype_of
-from .chebyshev import ChebyshevFilterOptions, ChebyshevFilterSolver
+from .chebyshev import ChebyshevFilterOptions, ChebyshevFilterSolver, as_filter_operator
 
 __all__ = [
     "chebyshev_moments",
@@ -42,10 +42,15 @@ __all__ = [
 
 
 @partial(jax.jit, static_argnames=("n_moments",))
-def _moment_recurrence(op: LinearOperator, Z, lam_min, lam_max, *, n_moments: int):
+def _moment_recurrence(op: LinearOperator, Z, lam_min, lam_max, n_norm, *, n_moments: int):
     """Hutchinson Chebyshev moments: μ_k = E[zᴴ T_k(t(A)) z] over the
     probe block Z (n, p), with t mapping [lam_min, lam_max] → [-1, 1].
-    One fori_loop, two carried blocks — the KPM inner loop."""
+    One fori_loop, two carried blocks — the KPM inner loop.
+
+    ``n_norm``: per-state normalization length.  On a padded mesh
+    operand this is the ORIGINAL n — probes are zero on the padding
+    rows, so zᴴT_k z is exactly the original operator's trace estimate
+    and μ_0 stays 1."""
     c = (lam_max + lam_min) / 2.0
     e = (lam_max - lam_min) / 2.0
     dtype = Z.dtype
@@ -55,13 +60,11 @@ def _moment_recurrence(op: LinearOperator, Z, lam_min, lam_max, *, n_moments: in
     def t_apply(V):
         return (op.matmat(V).astype(dtype) - c * V) / e
 
-    n = Z.shape[0]
-
     def probe_mean(V):
         # mean over probes of Re⟨z_i, v_i⟩ / n: with unit-modulus probe
         # entries E[zᴴ T_k z] = tr T_k, so this estimates tr T_k / n
         # (μ_0 = 1 exactly)
-        return (jnp.mean(jnp.real(jnp.sum(Z.conj() * V, axis=0))) / n).astype(rdt)
+        return (jnp.mean(jnp.real(jnp.sum(Z.conj() * V, axis=0))) / n_norm).astype(rdt)
 
     T0 = Z
     T1 = t_apply(Z)
@@ -112,24 +115,45 @@ def chebyshev_moments(
     n_probes: int = 16,
     spectral_bounds: tuple[float, float] | None = None,
     seed: int = 0,
+    mesh=None,
+    matvec_mode: str = "allgather",
 ):
     """(μ (n_moments,), (λ_min, λ_max)) — Jackson-undamped Hutchinson
     Chebyshev moments of the spectral measure of a Hermitian operator,
-    normalized per state (μ_0 ≈ 1)."""
-    op = aslinearoperator(A)
+    normalized per state (μ_0 ≈ 1).
+
+    ``mesh``: run the moment SpMM recurrence row-partitioned over the
+    device mesh (block-sparse operands; ``matvec_mode`` as in the
+    distributed drivers).  Probes are supported on the ORIGINAL rows,
+    so padding added for the mesh never enters the trace estimate."""
+    n_true = None
+    if mesh is not None:
+        from .chebyshev import mesh_filter_operand
+
+        op, n_true, _padded_n, bounds = mesh_filter_operand(
+            A, mesh, matvec_mode, spectral_bounds, seed
+        )
+        spectral_bounds = bounds
+    else:
+        op = as_filter_operator(A)
     if op.shape[0] != op.shape[1]:
         raise LanczosError("KPM requires a square operator")
     lo, hi = _bounds_of(op, A, spectral_bounds, seed)
     span = hi - lo
     lo_m, hi_m = lo - 0.005 * span, hi + 0.005 * span
-    Z = random_matrix(jax.random.PRNGKey(seed), n_probes, op.shape[0], op.dtype).T
+    n_rows = op.shape[0] if n_true is None else n_true
+    Z = random_matrix(jax.random.PRNGKey(seed), n_probes, n_rows, op.dtype).T
     # Rademacher probes have lower Hutchinson variance than Gaussian for
     # real dtypes; keep Gaussian for complex (phases already uniform)
     if not jnp.iscomplexobj(Z):
         Z = jnp.sign(Z) * 1.0
     else:
         Z = Z / jnp.abs(Z)
-    mu = _moment_recurrence(op, Z, lo_m, hi_m, n_moments=n_moments)
+    if n_rows != op.shape[0]:  # mesh padding: zero probe rows beyond n
+        Z = jnp.zeros((op.shape[0], n_probes), op.dtype).at[:n_rows].set(Z)
+    mu = _moment_recurrence(
+        op, Z, lo_m, hi_m, jnp.asarray(float(n_rows)), n_moments=n_moments
+    )
     return np.asarray(mu, np.float64), (lo_m, hi_m)
 
 
@@ -141,13 +165,16 @@ def spectral_density(
     grid: int = 400,
     spectral_bounds: tuple[float, float] | None = None,
     seed: int = 0,
+    mesh=None,
+    matvec_mode: str = "allgather",
 ):
     """(λ grid, DOS estimate ρ(λ)) with ∫ρ ≈ n — the Jackson-damped KPM
     density of states."""
-    op = aslinearoperator(A)
-    n = op.shape[0]
+    op = as_filter_operator(A) if mesh is None else None
+    n = op.shape[0] if op is not None else A.shape[0]
     mu, (lo, hi) = chebyshev_moments(
-        A, n_moments, n_probes=n_probes, spectral_bounds=spectral_bounds, seed=seed
+        A, n_moments, n_probes=n_probes, spectral_bounds=spectral_bounds, seed=seed,
+        mesh=mesh, matvec_mode=matvec_mode,
     )
     g = _jackson(n_moments)
     t = np.cos(np.pi * (np.arange(grid) + 0.5) / grid)[::-1]  # Chebyshev nodes
@@ -167,18 +194,20 @@ def eigenvalue_count(
     n_probes: int = 16,
     spectral_bounds: tuple[float, float] | None = None,
     seed: int = 0,
+    mesh=None,
+    matvec_mode: str = "allgather",
     _moments=None,
 ) -> float:
     """Estimated number of eigenvalues in ``interval`` — the Jackson-
     damped KPM estimate of tr 1_{[a,b]}(A); error scales like
     O(n/(n_moments·√n_probes)) plus the filter transition width."""
-    op = aslinearoperator(A)
-    n = op.shape[0]
+    n = A.shape[0] if hasattr(A, "shape") else as_filter_operator(A).shape[0]
     if _moments is not None:
         mu, (lo, hi) = _moments
     else:
         mu, (lo, hi) = chebyshev_moments(
-            A, n_moments, n_probes=n_probes, spectral_bounds=spectral_bounds, seed=seed
+            A, n_moments, n_probes=n_probes, spectral_bounds=spectral_bounds, seed=seed,
+            mesh=mesh, matvec_mode=matvec_mode,
         )
     n_moments = mu.shape[0]
     ctr, ext = (hi + lo) / 2.0, (hi - lo) / 2.0
@@ -206,9 +235,15 @@ def eigsh_range(
     n_probes: int = 16,
     spectral_bounds: tuple[float, float] | None = None,
     seed: int = 0,
+    mesh=None,
+    matvec_mode: str = "allgather",
 ):
     """ALL eigenpairs of a Hermitian operator inside ``interval`` by KPM
     count estimation + Chebyshev bandpass spectrum slicing.
+
+    ``mesh``: every stage (moment SpMMs, per-slice bandpass filtering)
+    runs row-partitioned over the device mesh — interior eigenpairs at
+    mesh scale with ZERO linear solves (block-sparse operands only).
 
     The interval is partitioned (by the KPM cumulative count) into
     slices estimated to hold ``block_size − slack`` eigenvalues each;
@@ -217,12 +252,14 @@ def eigsh_range(
     :class:`~eigenex_tpu.solvers.lanczos.LanczosResult` with all found
     pairs sorted ascending; ``converged`` is the AND over slices.
     """
-    op = aslinearoperator(A)
+    if mesh is None:
+        as_filter_operator(A)  # validates the operand type early
     a, b_hi = float(interval[0]), float(interval[1])
     if not a < b_hi:
         raise LanczosError(f"interval must satisfy a < b, got {interval}")
     mu_pack = chebyshev_moments(
-        A, n_moments, n_probes=n_probes, spectral_bounds=spectral_bounds, seed=seed
+        A, n_moments, n_probes=n_probes, spectral_bounds=spectral_bounds, seed=seed,
+        mesh=mesh, matvec_mode=matvec_mode,
     )
     lo, hi = mu_pack[1]
     total = eigenvalue_count(A, (a, b_hi), _moments=mu_pack)
@@ -252,18 +289,20 @@ def eigsh_range(
         # sits exactly on a boundary; duplicates are merged below
         w_lo = edges[s] - (0 if s == 0 else 1e-9 * (hi - lo))
         w_hi = edges[s + 1] + (0 if s == n_slices - 1 else 1e-9 * (hi - lo))
-        res = ChebyshevFilterSolver(
+        from .chebyshev import eigsh_window
+
+        res = eigsh_window(
             A,
             (w_lo, w_hi),
-            ChebyshevFilterOptions(
-                degree=degree,
-                tolerance=tol,
-                max_iterations=max_iterations,
-                seed=seed + s,
-                spectral_bounds=(lo, hi),
-            ),
             block_size=block_size,
-        ).compute()
+            degree=degree,
+            tol=tol,
+            max_iterations=max_iterations,
+            seed=seed + s,
+            spectral_bounds=(lo, hi),
+            mesh=mesh,
+            matvec_mode=matvec_mode,
+        )
         conv &= bool(res.converged)
         iters += res.iterations
         if res.eigenvalues.size:

@@ -123,3 +123,82 @@ class TestWindowSolver:
         want = w[(w >= window[0]) & (w <= window[1])]
         assert res.converged
         np.testing.assert_allclose(np.sort(res.eigenvalues), want, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: mesh-aware window filtering (distributed SpMM chain + CholQR2)
+# ---------------------------------------------------------------------------
+class TestMeshWindow:
+    def _operator(self, nbr=24, bs=4, seed=9):
+        import numpy as np
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+
+        rng = np.random.default_rng(seed)
+        n = nbr * bs
+        A = np.zeros((n, n))
+        for r in range(nbr):
+            for c in (r, r + 1):
+                if c < nbr:
+                    A[r*bs:(r+1)*bs, c*bs:(c+1)*bs] = 0.3 * rng.standard_normal((bs, bs))
+        A = (A + A.T) / 2 + np.diag(np.linspace(0.0, 10.0, n))
+        return bsr_from_dense(A, (bs, bs)), A
+
+    def test_cholesky_qr2_orthonormalizes(self):
+        import numpy as np
+        from eigenex_tpu.solvers.chebyshev import cholesky_qr2
+
+        rng = np.random.default_rng(3)
+        X = jnp.asarray(rng.standard_normal((200, 6)) @ np.diag(10.0 ** np.arange(-3, 3)))
+        Q = cholesky_qr2(X)
+        np.testing.assert_allclose(np.asarray(Q.T @ Q), np.eye(6), atol=1e-12)
+        # same column space
+        P1 = np.asarray(Q) @ np.asarray(Q).T
+        Q2, _ = np.linalg.qr(np.asarray(X))
+        np.testing.assert_allclose(P1, Q2 @ Q2.T, atol=1e-9)
+
+    @pytest.mark.parametrize("mode", ["allgather", "halo", "sym_halo"])
+    def test_mesh_window_matches_single_device(self, mode):
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        from eigenex_tpu.solvers.chebyshev import eigsh_window
+
+        bsr, A = self._operator()
+        ev = np.linalg.eigvalsh(A)
+        window = (float(ev[40]) - 1e-6, float(ev[45]) + 1e-6)  # 6 interior pairs
+        mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+        res_m = eigsh_window(
+            bsr, window, block_size=10, degree=60, tol=1e-11, mesh=mesh,
+            matvec_mode=mode,
+        )
+        res_s = eigsh_window(bsr, window, block_size=10, degree=60, tol=1e-11)
+        want = ev[(ev >= window[0]) & (ev <= window[1])]
+        np.testing.assert_allclose(np.sort(res_m.eigenvalues), want, atol=1e-10)
+        np.testing.assert_allclose(
+            np.sort(res_m.eigenvalues), np.sort(res_s.eigenvalues), atol=1e-10
+        )
+        # true residuals at original length
+        for j in range(res_m.eigenvalues.size):
+            v = np.asarray(res_m.eigenvectors[:, j])
+            r = np.linalg.norm(A @ v - res_m.eigenvalues[j] * v)
+            assert r < 1e-8
+
+    def test_mesh_window_with_padding(self):
+        """Block-row count NOT divisible by the mesh: padding adds
+        eigenvalue 0, but the padding-safe start block keeps it invisible
+        even when the window contains 0."""
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        from eigenex_tpu.solvers.chebyshev import eigsh_window
+
+        bsr, A = self._operator(nbr=21)  # 21 % 8 != 0
+        ev = np.linalg.eigvalsh(A)
+        window = (float(ev[0]) - 1e-3, float(ev[3]) + 1e-6)  # contains low end
+        mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+        res = eigsh_window(
+            bsr, window, block_size=8, degree=60, tol=1e-11, mesh=mesh,
+        )
+        want = ev[(ev >= window[0]) & (ev <= window[1])]
+        np.testing.assert_allclose(np.sort(res.eigenvalues), want, atol=1e-10)
+        assert res.eigenvectors.shape[0] == A.shape[0]

@@ -547,3 +547,77 @@ class TestDistributedLOBPCG:
         s.b_operator = s.operator
         with pytest.raises(EigenexError):
             s.compute()
+
+
+# ---------------------------------------------------------------------------
+# Round 3: global-array mesh operator + distributed SpMM twins
+# ---------------------------------------------------------------------------
+class TestMeshOperator:
+    """mesh_operator(A).matvec/matmat on global arrays must match the
+    single-device container bit-for-bit semantics in every mode."""
+
+    def _sym_banded(self, nbr=16, bs=8, seed=7):
+        rng = np.random.default_rng(seed)
+        n = nbr * bs
+        A = np.zeros((n, n))
+        for r in range(nbr):
+            for c in (r, r + 1):
+                if c < nbr:
+                    A[r*bs:(r+1)*bs, c*bs:(c+1)*bs] = rng.standard_normal((bs, bs))
+        A = (A + A.T) / 2
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+
+        return bsr_from_dense(A, (bs, bs)), A
+
+    @pytest.mark.parametrize("mode", ["allgather", "colsplit", "halo", "sym_halo"])
+    def test_matvec_and_matmat_match_single_device(self, mesh, mode):
+        from eigenex_tpu.parallel import mesh_operator
+
+        bsr, A = self._sym_banded()
+        op = mesh_operator(bsr, mesh, matvec_mode=mode)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal(bsr.shape[0]))
+        X = jnp.asarray(rng.standard_normal((bsr.shape[0], 5)))
+        np.testing.assert_allclose(np.asarray(op.matvec(x)), A @ np.asarray(x), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(op.matmat(X)), A @ np.asarray(X), atol=1e-11)
+
+    def test_sym_halo_accepts_sym_container(self, mesh):
+        from eigenex_tpu.parallel import mesh_operator
+        from eigenex_tpu.sparse.sym_bsr import sym_bsr_from_bsr
+
+        bsr, A = self._sym_banded()
+        sym = sym_bsr_from_bsr(bsr)
+        op = mesh_operator(sym, mesh, matvec_mode="sym_halo")
+        X = jnp.asarray(np.random.default_rng(12).standard_normal((bsr.shape[0], 3)))
+        np.testing.assert_allclose(np.asarray(op.matmat(X)), A @ np.asarray(X), atol=1e-11)
+        # Hermitian: adjoint action available and equal
+        x = X[:, 0]
+        np.testing.assert_allclose(np.asarray(op.rmatvec(x)), A @ np.asarray(x), atol=1e-11)
+
+    def test_mode_validation(self, mesh):
+        from eigenex_tpu.parallel import mesh_operator
+        from eigenex_tpu.sparse.sym_bsr import sym_bsr_from_bsr
+        from eigenex_tpu.utils.exceptions import EigenexError
+
+        bsr, _ = self._sym_banded()
+        with pytest.raises(EigenexError):
+            mesh_operator(bsr, mesh, matvec_mode="bogus")
+        with pytest.raises(EigenexError):
+            mesh_operator(sym_bsr_from_bsr(bsr), mesh, matvec_mode="allgather")
+
+    def test_jit_traceable_operand(self, mesh):
+        """The mesh operator is a pytree usable as a traced jit argument
+        (the Chebyshev/KPM loops pass it through jitted stages)."""
+        from eigenex_tpu.parallel import mesh_operator
+
+        bsr, A = self._sym_banded()
+        op = mesh_operator(bsr, mesh, matvec_mode="halo")
+
+        @jax.jit
+        def chain(o, v):
+            return o.matvec(o.matvec(v))
+
+        x = jnp.asarray(np.random.default_rng(13).standard_normal(bsr.shape[0]))
+        np.testing.assert_allclose(
+            np.asarray(chain(op, x)), A @ (A @ np.asarray(x)), atol=1e-10
+        )

@@ -101,3 +101,79 @@ class TestEigshRange:
         A = jnp.asarray(laplacian_dense(16))
         with pytest.raises(LanczosError):
             eigsh_range(A, (2.0, 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Round 3: mesh-aware KPM (distributed moment SpMMs + per-slice windows)
+# ---------------------------------------------------------------------------
+class TestMeshKPM:
+    def _operator(self, nbr=21, bs=4, seed=17):
+        # 21 block rows: NOT divisible by 8 — exercises the padding path
+        import numpy as np
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+
+        rng = np.random.default_rng(seed)
+        n = nbr * bs
+        A = np.zeros((n, n))
+        for r in range(nbr):
+            for c in (r, r + 1):
+                if c < nbr:
+                    A[r*bs:(r+1)*bs, c*bs:(c+1)*bs] = 0.3 * rng.standard_normal((bs, bs))
+        A = (A + A.T) / 2 + np.diag(np.linspace(-4.0, 4.0, n))
+        return bsr_from_dense(A, (bs, bs)), A
+
+    def test_mesh_moments_match_single_device(self):
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        from eigenex_tpu.solvers.kpm import chebyshev_moments
+
+        bsr, A = self._operator()
+        mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+        lo, hi = map(float, bsr.estimate_eigenvalue_range())
+        mu_s, _ = chebyshev_moments(bsr, 64, n_probes=8, seed=0,
+                                    spectral_bounds=(lo, hi))
+        mu_m, _ = chebyshev_moments(bsr, 64, n_probes=8, seed=0,
+                                    spectral_bounds=(lo, hi), mesh=mesh)
+        # identical probes + identical operator (padding invisible) =>
+        # identical moments to fp roundoff
+        np.testing.assert_allclose(mu_m, mu_s, atol=1e-12)
+        assert abs(mu_m[0] - 1.0) < 1e-12  # per-state normalization
+
+    def test_mesh_count_ignores_padding_zeros(self):
+        """The interval around 0 must count only the TRUE eigenvalues:
+        the mesh padding adds 3 block rows of eigenvalue 0 that must not
+        leak into the estimate."""
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        from eigenex_tpu.solvers.kpm import eigenvalue_count
+
+        bsr, A = self._operator()
+        ev = np.linalg.eigvalsh(A)
+        mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+        interval = (-0.5, 0.5)
+        true_count = int(((ev >= interval[0]) & (ev <= interval[1])).sum())
+        est = eigenvalue_count(bsr, interval, n_moments=200, n_probes=16,
+                               mesh=mesh, seed=1)
+        # stochastic + filter-transition error; padding would add 12
+        assert abs(est - true_count) < 0.25 * true_count + 2, (est, true_count)
+
+    def test_mesh_eigsh_range_matches_single_device(self):
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        from eigenex_tpu.solvers.kpm import eigsh_range
+
+        bsr, A = self._operator(nbr=16)
+        ev = np.linalg.eigvalsh(A)
+        interval = (float(ev[20]) - 1e-6, float(ev[30]) + 1e-6)
+        mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+        res_m = eigsh_range(bsr, interval, block_size=10, degree=80,
+                            tol=1e-11, mesh=mesh, seed=2)
+        want = ev[(ev >= interval[0]) & (ev <= interval[1])]
+        np.testing.assert_allclose(np.sort(res_m.eigenvalues), want, atol=1e-9)
+        for j in range(res_m.eigenvalues.size):
+            v = np.asarray(res_m.eigenvectors[:, j])
+            r = np.linalg.norm(A @ v - float(res_m.eigenvalues[j]) * v)
+            assert r < 1e-8
