@@ -193,3 +193,63 @@ class TestBlockEinsum:
         b = make_bt(rng, [[3, 2]])
         with pytest.raises(BlockTensorError):
             einsum(a, b).from_(["i"], ["i"]).to([])
+
+
+# ---------------------------------------------------------------------------
+# Round 3: block_einsum trace-time scaling — shared-label signature join
+# ---------------------------------------------------------------------------
+class TestBlockEinsumScaling:
+    def test_enumeration_is_o_matching_pairs(self):
+        """Two operands with S diagonal sectors share one label: only the
+        S diagonal pairs match, and the enumeration must touch exactly
+        those — not the S² all-combos loop."""
+        import eigenex_tpu.block.block_tensor as bt
+        from eigenex_tpu.block.block_tensor import BlockTensor, block_einsum
+        from eigenex_tpu.core.indices import AddIndices
+
+        S = 1000
+        st = AddIndices([1] * S)  # S sectors of size 1
+        A = BlockTensor([st, st], dtype=jnp.float64)
+        B = BlockTensor([st, st], dtype=jnp.float64)
+        rng = np.random.default_rng(0)
+        for s in range(S):
+            A.set_block((s, s), jnp.asarray(rng.standard_normal((1, 1))))
+            B.set_block((s, s), jnp.asarray(rng.standard_normal((1, 1))))
+        out = block_einsum([A, B], [("i", "j"), ("j", "k")], ("i", "k"))
+        assert bt._LAST_CANDIDATE_COUNT == S, bt._LAST_CANDIDATE_COUNT
+        # correctness spot check on a few sectors
+        for s in (0, 499, 999):
+            got = float(out.blocks[(s, s)][0, 0])
+            want = float(A.blocks[(s, s)][0, 0]) * float(B.blocks[(s, s)][0, 0])
+            assert abs(got - want) < 1e-12
+
+    def test_results_unchanged_vs_dense_oracle(self):
+        from eigenex_tpu.block.block_tensor import BlockTensor, block_einsum
+        from eigenex_tpu.core.indices import AddIndices
+
+        rng = np.random.default_rng(1)
+        st = AddIndices([2, 3, 2])
+        A = BlockTensor([st, st], dtype=jnp.float64)
+        B = BlockTensor([st, st], dtype=jnp.float64)
+        for (i, j) in [(0, 0), (0, 1), (1, 1), (2, 0), (2, 2)]:
+            A.set_block((i, j), jnp.asarray(rng.standard_normal((st.block_dims[i], st.block_dims[j]))))
+        for (i, j) in [(0, 0), (1, 0), (1, 2), (2, 1)]:
+            B.set_block((i, j), jnp.asarray(rng.standard_normal((st.block_dims[i], st.block_dims[j]))))
+        out = block_einsum([A, B], [("i", "j"), ("j", "k")], ("i", "k"))
+        ref = np.asarray(A.to_dense()) @ np.asarray(B.to_dense())
+        np.testing.assert_allclose(np.asarray(out.to_dense()), ref, atol=1e-12)
+
+    def test_intra_tensor_diagonal_selection(self):
+        """A label repeated WITHIN one tensor selects its diagonal
+        sectors before the join (self_ok path)."""
+        from eigenex_tpu.block.block_tensor import BlockTensor, block_einsum
+        from eigenex_tpu.core.indices import AddIndices
+
+        rng = np.random.default_rng(2)
+        st = AddIndices([2, 2])
+        A = BlockTensor([st, st], dtype=jnp.float64)
+        for key in [(0, 0), (0, 1), (1, 1)]:
+            A.set_block(key, jnp.asarray(rng.standard_normal((2, 2))))
+        out = block_einsum([A], [("i", "i")], ("i",))
+        dense = np.asarray(A.to_dense())
+        np.testing.assert_allclose(np.asarray(out.to_dense()), np.diag(dense), atol=1e-12)
