@@ -535,18 +535,85 @@ class TestDistributedLOBPCG:
         exact = 2 - 2 * np.cos(np.arange(1, k + 1) * np.pi / (n + 1))
         np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-8)
 
-    def test_generalized_rejected(self, mesh):
+    def test_generalized_pencil_matches_single_device(self, mesh):
+        """Round-3 lift: A x = lambda B x on the mesh — B-inner products
+        are the same psum'd Grams (VERDICT round-2 item 8)."""
+        from eigenex_tpu.parallel import DistributedLOBPCGSolver
+        from eigenex_tpu.solvers.lobpcg import LOBPCGOptions, lobpcg
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+
+        n, k = 64, 2
+        bsr = laplacian_bsr(n, 8)
+        # FEM-style mass matrix: tridiagonal, positive definite
+        B = (4 * np.eye(n) + np.eye(n, k=1) + np.eye(n, k=-1)) / 6.0
+        bsrB = bsr_from_dense(B, (8, 8))
+        dist = DistributedLOBPCGSolver(
+            bsr, mesh, LOBPCGOptions(tolerance=1e-12), block_size=k,
+            b_operator=bsrB,
+        ).compute()
+        A = np.asarray(bsr.to_dense())
+        from scipy.linalg import eigh as scipy_eigh
+
+        exact = scipy_eigh(A, B, eigvals_only=True)[:k]
+        np.testing.assert_allclose(dist.eigenvalues, exact, atol=1e-9)
+        single = lobpcg(jnp.asarray(A), k, B=jnp.asarray(B), tol=1e-12)
+        np.testing.assert_allclose(dist.eigenvalues, single.eigenvalues, atol=1e-9)
+
+    def test_generalized_pencil_with_padding(self, mesh):
+        """Generalized + padding: both operands pad identically and the
+        padding-safe start block keeps the degenerate padded pencil
+        rows out of the iteration."""
         from eigenex_tpu.parallel import DistributedLOBPCGSolver
         from eigenex_tpu.solvers.lobpcg import LOBPCGOptions
-        from eigenex_tpu.utils.exceptions import EigenexError
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
 
-        bsr = laplacian_bsr(32, 8)
-        s = DistributedLOBPCGSolver(
-            bsr, mesh, LOBPCGOptions(), block_size=2
-        )
-        s.b_operator = s.operator
-        with pytest.raises(EigenexError):
-            s.compute()
+        n, k = 36, 2  # 9 block rows of 4 -> pads to 16 over 8 shards
+        bsr = laplacian_bsr(n, 4)
+        B = (4 * np.eye(n) + np.eye(n, k=1) + np.eye(n, k=-1)) / 6.0
+        res = DistributedLOBPCGSolver(
+            bsr, mesh, LOBPCGOptions(tolerance=1e-11), block_size=k,
+            b_operator=bsr_from_dense(B, (4, 4)),
+        ).compute()
+        A = np.asarray(bsr.to_dense())[:n, :n]
+        from scipy.linalg import eigh as scipy_eigh
+
+        exact = scipy_eigh(A, B, eigvals_only=True)[:k]
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-8)
+        assert res.eigenvectors.shape == (n, k)
+
+    def test_container_preconditioner(self, mesh):
+        """A block-sparse container preconditioner is meshified and
+        applied through the distributed matmat — no row-locality
+        restriction (round-3 lift)."""
+        from eigenex_tpu.parallel import DistributedLOBPCGSolver
+        from eigenex_tpu.solvers.lobpcg import LOBPCGOptions
+        from eigenex_tpu.sparse.bsr import bsr_from_dense
+
+        n, k = 64, 2
+        bsr = laplacian_bsr(n, 8)
+        T = np.diag(np.full(n, 0.5))  # Jacobi as a container
+        res = DistributedLOBPCGSolver(
+            bsr, mesh, LOBPCGOptions(tolerance=1e-11), block_size=k,
+            preconditioner=bsr_from_dense(T, (8, 8)),
+        ).compute()
+        exact = 2 - 2 * np.cos(np.arange(1, k + 1) * np.pi / (n + 1))
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-8)
+
+    def test_sym_halo_mode(self, mesh):
+        """SymBSRMatrix operand: half-traffic storage through the
+        distributed LOBPCG SpMMs."""
+        from eigenex_tpu.parallel import DistributedLOBPCGSolver
+        from eigenex_tpu.solvers.lobpcg import LOBPCGOptions
+        from eigenex_tpu.sparse.sym_bsr import sym_bsr_from_bsr
+
+        n, k = 64, 2
+        bsr = laplacian_bsr(n, 8)
+        sym = sym_bsr_from_bsr(bsr)
+        res = DistributedLOBPCGSolver(
+            sym, mesh, LOBPCGOptions(tolerance=1e-11), block_size=k,
+        ).compute()
+        exact = 2 - 2 * np.cos(np.arange(1, k + 1) * np.pi / (n + 1))
+        np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-8)
 
 
 # ---------------------------------------------------------------------------
