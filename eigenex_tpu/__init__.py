@@ -11,6 +11,7 @@ for the MXU/VPU and XLA's compilation model.
 """
 
 from .block.block_tensor import BlockTensor, block_tensor_norm, block_tensor_squared_norm
+from .core.dtensor import DTensor, dtensor
 from .core.indices import AddIndices, ProductIndices, Slice
 from .core.operators import LinearOperator, aslinearoperator, identity_operator
 from .ops.orthogonalize import (
