@@ -189,7 +189,9 @@ def _local_colsplit_matvec(params, x_local, *, axis_name, bn, use_pallas=False):
 _DIST_CHUNK_CACHE: dict = {}
 
 
-def _build_local_operator(mode, op_arrays, axis_name, bn, n_total, dtype, use_pallas=False):
+def _build_local_operator(
+    mode, op_arrays, axis_name, bn, n_total, dtype, use_pallas=False, sym_reach=-1
+):
     """Local-shard matvec operator from the sharded BSR arrays."""
     if mode == "allgather":
         data, cols = op_arrays
@@ -213,7 +215,10 @@ def _build_local_operator(mode, op_arrays, axis_name, bn, n_total, dtype, use_pa
         diag, ind, inc, rd, rc = op_arrays
         nbr_local, bm, _ = diag.shape
         return LinearOperator(
-            partial(_sym_halo_mv, axis_name=axis_name, bn=bn, use_pallas=use_pallas),
+            partial(
+                _sym_halo_mv, axis_name=axis_name, bn=bn, use_pallas=use_pallas,
+                sym_reach=sym_reach,
+            ),
             (diag, ind, inc, rd, rc),
             (nbr_local * bm, n_total),
             dtype,
@@ -230,9 +235,12 @@ def _build_local_operator(mode, op_arrays, axis_name, bn, n_total, dtype, use_pa
 
 def _get_dist_chunk(
     mesh, axis_name, num_steps, reorth, has_deflate, bn, mode, si_cg_iters=None,
-    use_pallas=False,
+    use_pallas=False, sym_reach=-1,
 ):
-    key = (mesh, axis_name, num_steps, reorth, has_deflate, bn, mode, si_cg_iters, use_pallas)
+    key = (
+        mesh, axis_name, num_steps, reorth, has_deflate, bn, mode, si_cg_iters,
+        use_pallas, sym_reach,
+    )
     fn = _DIST_CHUNK_CACHE.get(key)
     if fn is not None:
         return fn
@@ -248,7 +256,7 @@ def _get_dist_chunk(
                 V, alpha, beta, k, breakdown, failed, shift, bd, deflate, sigma, cg_tol,
             ) = args[n_op_args:]
         op_local = _build_local_operator(
-            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype, use_pallas
+            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype, use_pallas, sym_reach
         )
         if si_cg_iters is not None:
             # shift-invert: each Lanczos matvec is a mesh-parallel CG solve
@@ -381,10 +389,6 @@ def distributed_lanczos_steps(
     if not has_deflate:
         deflate = jnp.zeros((0, bsr.shape[1]), bsr.dtype)
     si_iters = None if shift_invert_sigma is None else int(cg_max_iters)
-    fn = _get_dist_chunk(
-        mesh, axis_name, int(num_steps), int(reorthogonalize_interval), has_deflate,
-        bsr.block_shape[1], matvec_mode, si_iters, use_pallas,
-    )
     if matvec_mode == "halo":
         diag, left, right = halo_parts if halo_parts is not None else split_bsr_halo(bsr, nd)
         op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
@@ -402,6 +406,15 @@ def distributed_lanczos_steps(
         op_arrays = (pd, pc)
     else:
         op_arrays = (bsr.data, bsr.block_cols)
+    sym_reach = (
+        sym_inpanel_reach(op_arrays[1], op_arrays[2], op_arrays[0].shape[0] // nd)
+        if matvec_mode == "sym_halo"
+        else -1
+    )
+    fn = _get_dist_chunk(
+        mesh, axis_name, int(num_steps), int(reorthogonalize_interval), has_deflate,
+        bsr.block_shape[1], matvec_mode, si_iters, use_pallas, sym_reach,
+    )
     extra = ()
     if shift_invert_sigma is not None:
         extra = (jnp.asarray(shift_invert_sigma, rdt), jnp.asarray(cg_tol, rdt))
@@ -602,8 +615,10 @@ class DistributedShiftInvertLanczosEigenSolver(DistributedLanczosEigenSolver):
 _DIST_ARNOLDI_CACHE: dict = {}
 
 
-def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode, use_pallas=False):
-    key = (mesh, axis_name, num_steps, bn, mode, use_pallas)
+def _get_dist_arnoldi_chunk(
+    mesh, axis_name, num_steps, bn, mode, use_pallas=False, sym_reach=-1
+):
+    key = (mesh, axis_name, num_steps, bn, mode, use_pallas, sym_reach)
     fn = _DIST_ARNOLDI_CACHE.get(key)
     if fn is not None:
         return fn
@@ -613,7 +628,7 @@ def _get_dist_arnoldi_chunk(mesh, axis_name, num_steps, bn, mode, use_pallas=Fal
         op_arrays = args[:n_op_args]
         V, H, k, breakdown, residue, failed, shift, bd = args[n_op_args:]
         op_local = _build_local_operator(
-            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype, use_pallas
+            mode, op_arrays, axis_name, bn, V.shape[1], V.dtype, use_pallas, sym_reach
         )
         state = ArnoldiState(
             V=V, H=H, k=k, breakdown=breakdown, residue=residue, failed=failed
@@ -675,9 +690,6 @@ def distributed_arnoldi_steps(
     rdt = real_dtype_of(bsr.dtype)
     if breakdown_threshold is None:
         breakdown_threshold = default_breakdown_threshold(bsr.dtype)
-    fn = _get_dist_arnoldi_chunk(
-        mesh, axis_name, int(num_steps), bsr.block_shape[1], matvec_mode, use_pallas
-    )
     if matvec_mode == "halo":
         diag, left, right = halo_parts if halo_parts is not None else split_bsr_halo(bsr, nd)
         op_arrays = (diag[0], diag[1], left[0], left[1], right[0], right[1])
@@ -695,6 +707,15 @@ def distributed_arnoldi_steps(
         op_arrays = (pd, pc)
     else:
         op_arrays = (bsr.data, bsr.block_cols)
+    sym_reach = (
+        sym_inpanel_reach(op_arrays[1], op_arrays[2], op_arrays[0].shape[0] // nd)
+        if matvec_mode == "sym_halo"
+        else -1
+    )
+    fn = _get_dist_arnoldi_chunk(
+        mesh, axis_name, int(num_steps), bsr.block_shape[1], matvec_mode, use_pallas,
+        sym_reach,
+    )
     V, H, k, brk, res, failed = fn(
         *op_arrays,
         state.V,
@@ -849,14 +870,32 @@ def split_bsr_halo(bsr: BSRMatrix, n_shards: int):
     return out["diag"], out["left"], out["right"]
 
 
-def _local_sym_matvec(diag, ud, uc, x, use_pallas):
+def sym_inpanel_reach(in_data, in_cols, rows_per: int) -> int:
+    """Max in-panel block band reach (local col − local row) over the
+    stored in-panel upper blocks — computed host-side on the CONCRETE
+    split arrays so it can ride as STATIC metadata into the shard-local
+    :class:`SymBSRMatrix`.  A known reach lets the shard-local Pallas
+    path use the STREAMING kernel (no VMEM size cap) — at the north-star
+    scale a pod shard holds 1.5–12M rows, past the resident kernel's
+    ~1.7M-row limit."""
+    nbr, ku = in_cols.shape
+    if nbr == 0 or ku == 0:
+        return 0
+    lr = jnp.arange(nbr, dtype=in_cols.dtype) % rows_per
+    nz = jnp.any(in_data.reshape(nbr, ku, -1) != 0, axis=2)
+    d = jnp.where(nz, in_cols - lr[:, None], 0)
+    return max(int(jnp.max(d)), 0)
+
+
+def _local_sym_matvec(diag, ud, uc, x, use_pallas, sym_reach: int = -1):
     """Shard-local SYMMETRIC matvec (diag + in-panel upper applied on
     both triangles) — XLA scatter-add path or the half-traffic Pallas
-    kernel.  Runs inside shard_map."""
+    kernel (streaming variant when ``sym_reach`` is known).  Runs inside
+    shard_map."""
     from ..sparse.sym_bsr import SymBSRMatrix
 
     n_local = diag.shape[0] * diag.shape[1]
-    sym_local = SymBSRMatrix(diag, ud, uc, (n_local, n_local))
+    sym_local = SymBSRMatrix(diag, ud, uc, (n_local, n_local), sym_reach)
     if use_pallas:
         from ..ops.pallas_spmv import sym_bsr_matvec_pallas
 
@@ -868,7 +907,7 @@ def _local_sym_matvec(diag, ud, uc, x, use_pallas):
 
 def sym_halo_matvec(
     diag, ud, uc, rd, rc, x_local, *, axis_name: str = ROWS, bn: int,
-    use_pallas=False,
+    use_pallas=False, sym_reach: int = -1,
 ):
     """Symmetric halo-exchange SpMV: the half-HBM-traffic layout of
     :class:`~eigenex_tpu.sparse.sym_bsr.SymBSRMatrix` carried into the
@@ -902,7 +941,7 @@ def sym_halo_matvec(
     # ppermutes above/below with this compute (schedule-verified by
     # tests/test_hlo_overlap.py on the v5e 2x4 AOT compile)
     with jax.named_scope("sym_halo_local_spmv"):
-        y = _local_sym_matvec(diag, ud, uc, x_local, use_pallas)
+        y = _local_sym_matvec(diag, ud, uc, x_local, use_pallas, sym_reach)
 
     # boundary: y[r] += B x_next[c]
     y = y + _local_ell_spmv(rd, rc, x_from_right, False)
@@ -920,8 +959,10 @@ def sym_halo_matvec(
     return y
 
 
-def _sym_halo_mv(p, x, *, axis_name, bn, use_pallas=False):
-    return sym_halo_matvec(*p, x, axis_name=axis_name, bn=bn, use_pallas=use_pallas)
+def _sym_halo_mv(p, x, *, axis_name, bn, use_pallas=False, sym_reach=-1):
+    return sym_halo_matvec(
+        *p, x, axis_name=axis_name, bn=bn, use_pallas=use_pallas, sym_reach=sym_reach
+    )
 
 
 def split_sym_bsr_halo(sym, n_shards: int):
@@ -1066,7 +1107,7 @@ def _local_sym_matmat(diag, ud, uc, X, use_pallas):
 
 def sym_halo_matmat(
     diag, ud, uc, rd, rc, X_local, *, axis_name: str = ROWS, bn: int,
-    use_pallas=False,
+    use_pallas=False, sym_reach: int = -1,
 ):
     """Multi-RHS twin of :func:`sym_halo_matvec`: forward X-panel halo +
     reverse halo of the BᴴX partial-Y panel — half-HBM-traffic symmetric
@@ -1105,8 +1146,10 @@ def sym_halo_matmat(
 _MESH_OP_CACHE: dict = {}
 
 
-def _get_mesh_apply(mesh, axis_name, mode, bn, use_pallas, n_op_args, matmat: bool):
-    key = (mesh, axis_name, mode, bn, use_pallas, matmat)
+def _get_mesh_apply(
+    mesh, axis_name, mode, bn, use_pallas, n_op_args, matmat: bool, sym_reach=-1
+):
+    key = (mesh, axis_name, mode, bn, use_pallas, matmat, sym_reach)
     fn = _MESH_OP_CACHE.get(key)
     if fn is not None:
         return fn
@@ -1123,7 +1166,10 @@ def _get_mesh_apply(mesh, axis_name, mode, bn, use_pallas, n_op_args, matmat: bo
             f = halo_matmat if matmat else halo_matvec
             return f(*op_arrays, x_local, axis_name=axis_name, bn=bn)
         f = sym_halo_matmat if matmat else sym_halo_matvec
-        return f(*op_arrays, x_local, axis_name=axis_name, bn=bn, use_pallas=use_pallas)
+        return f(
+            *op_arrays, x_local, axis_name=axis_name, bn=bn, use_pallas=use_pallas,
+            sym_reach=sym_reach,
+        )
 
     x_spec = P(axis_name, None) if matmat else P(axis_name)
     sharded = shard_map(
@@ -1197,13 +1243,22 @@ def mesh_operator(
         )
     op_arrays, bn = _split_for_mode(A, matvec_mode, nd)
     n_op_args = len(op_arrays)
+    sym_reach = (
+        sym_inpanel_reach(op_arrays[1], op_arrays[2], op_arrays[0].shape[0] // nd)
+        if matvec_mode == "sym_halo"
+        else -1
+    )
     mv = partial(
         _call_mesh_fn,
-        _get_mesh_apply(mesh, axis_name, matvec_mode, bn, use_pallas, n_op_args, False),
+        _get_mesh_apply(
+            mesh, axis_name, matvec_mode, bn, use_pallas, n_op_args, False, sym_reach
+        ),
     )
     mm = partial(
         _call_mesh_fn,
-        _get_mesh_apply(mesh, axis_name, matvec_mode, bn, use_pallas, n_op_args, True),
+        _get_mesh_apply(
+            mesh, axis_name, matvec_mode, bn, use_pallas, n_op_args, True, sym_reach
+        ),
     )
     dtype = _acc_dtype_of(A.dtype)
     return LinearOperator(

@@ -384,7 +384,43 @@ def eigs(
 
     if mesh is not None:
         if sigma is not None:
-            raise EigenexError("sigma with mesh= is not supported yet")
+            # Distributed GMRES shift-invert: the mesh operator makes
+            # (A − σI)⁻¹-via-GMRES a global-array operator whose every
+            # matvec runs shard_map'd over the mesh; the Krylov–Schur
+            # controller stays single-host on replicated small state.
+            from ..parallel.distributed import mesh_operator, pad_bsr_for_mesh
+            from ..parallel.distributed import _padding_safe_v0
+
+            if inner_tol is None:
+                from ..utils.tolerance import default_tolerance
+
+                outer = tol if tol is not None else default_tolerance(op.dtype)
+                inner_tol = max(outer * 1e-2, 1e-14)
+            bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
+            axis = mesh.axis_names[0]
+            padded = pad_bsr_for_mesh(bsr_op, mesh.shape[axis])
+            mop = mesh_operator(padded, mesh, axis_name=axis, matvec_mode=matvec_mode)
+            si = shift_invert_operator_general(mop, sigma, tol=inner_tol)
+            solver = KrylovSchurArnoldiSolver(
+                si,
+                KrylovSchurOptions(
+                    max_eigenvalues=k, tolerance=tol, max_subspace=m,
+                    max_restarts=max_restarts, seed=seed,
+                ),
+            )
+            if padded.shape[0] != n:
+                # padding adds eigenvalue -1/sigma to the SI operator; a
+                # padding-supported v0 would chase that ghost
+                solver.set_initial_vector(
+                    _padding_safe_v0(n, padded.shape[0], mop.dtype, seed)
+                )
+            res = solver.compute()
+            lam = complex(sigma) + 1.0 / res.eigenvalues
+            order = np.argsort(np.abs(lam - complex(sigma)))
+            res.eigenvalues = lam[order]
+            if res.eigenvectors is not None:
+                res.eigenvectors = res.eigenvectors[:n, order]
+            return _maybe_refine_general(res, coo, refine)
         from ..parallel.distributed import DistributedKrylovSchurArnoldiSolver
 
         bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
