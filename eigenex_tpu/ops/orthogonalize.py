@@ -30,6 +30,7 @@ __all__ = [
     "gram_schmidt",
     "orthonormal_columns",
     "orthogonal_complement",
+    "orthogonal_complement_debug",
     "norm_psum",
 ]
 
@@ -121,3 +122,32 @@ def orthogonal_complement(V, n=None):
     # vector-at-a-time projection loop (util.hpp:437-462)
     q, _ = jnp.linalg.qr(V.conj().T, mode="complete")  # (n, n)
     return q[:, k:].conj().T
+
+
+def orthogonal_complement_debug(V, n=None):
+    """Debug twin of :func:`orthogonal_complement` (cf.
+    ``OrthogonalSpaceDebug`` util.hpp:473-514, which recomputes and
+    prints the projection residuals): returns
+    ``(complement_rows, diagnostics)`` where diagnostics is a dict of the
+    invariants the debug class checked —
+
+    - ``max_overlap``: max |⟨r_i, V_j⟩| (must be ~0: complement ⊥ span V)
+    - ``orthonormality``: ‖R Rᴴ − I‖_max over the returned rows
+    - ``completeness``: ‖[Vq; R][Vq; R]ᴴ − I‖_max with Vq an orthonormal
+      basis of span V — the two spaces together fill C^n
+    """
+    R = orthogonal_complement(V, n)
+    V = jnp.asarray(V)
+    Vq = gram_schmidt(V)
+    k = R.shape[0]
+    overlap = jnp.max(jnp.abs(R @ V.conj().T)) if V.size and k else jnp.zeros(())
+    gram = R @ R.conj().T
+    orth = jnp.max(jnp.abs(gram - jnp.eye(k, dtype=gram.dtype))) if k else jnp.zeros(())
+    full = jnp.concatenate([Vq, R], axis=0)
+    gf = full @ full.conj().T
+    comp = jnp.max(jnp.abs(gf - jnp.eye(gf.shape[0], dtype=gf.dtype)))
+    return R, {
+        "max_overlap": overlap,
+        "orthonormality": orth,
+        "completeness": comp,
+    }

@@ -418,6 +418,134 @@ def sym_bsr_matvec_pallas(
     return y.reshape(sym.shape[0])
 
 
+def _pick_sym_spmm_strip(
+    nbr: int, ku: int, bm: int, bn: int, p: int, itemsize: int, reach: int
+) -> int:
+    """Strip pick for the STREAMING symmetric SpMM: block stream +
+    double-buffered X slab windows + Y tile + carry, all per strip."""
+    budget = 14 * 2**20
+    for s in (512, 256, 128, 64, 32, 16, 8):
+        if nbr % s or s < reach:
+            continue
+        stream = 2 * s * (1 + ku) * bm * bn * itemsize
+        xwin = 2 * 2 * s * p * bn * 4
+        ytile = 3 * s * p * bm * 4  # double-buffered out + carry
+        if stream + xwin + ytile <= budget:
+            return s
+    return 0
+
+
+def _sym_spmm_stream_kernel(
+    ku: int, strip: int, reach: int,
+    cols_ref, diag_ref, upper_ref, xc_ref, xn_ref, y_ref, carry_ref,
+):
+    """Streaming multi-RHS twin of :func:`_sym_spmv_stream_kernel`: X and
+    Y move as transposed ``(strip, p, bn)`` slabs (p sublanes, block
+    axis lanes) through strip windows, with the transpose-contribution
+    scatter carried between strips — the half-traffic symmetric SpMM at
+    ANY problem size (the resident panel kernel caps at n·p ≲ 1.7M)."""
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    y_ref[...] = carry_ref[...].astype(y_ref.dtype)
+    carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    for i in range(strip):
+        Xr = xc_ref[i]  # (p, bn) f32
+        D = diag_ref[i].astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            Xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (p, bm)
+        for k in range(ku):
+            c = cols_ref[(pid * strip + i) * ku + k]
+            off = c - pid * strip
+            B = upper_ref[i, k].astype(jnp.float32)
+            YC = jax.lax.dot_general(
+                Xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (p, bn)
+            if i + reach < strip:
+                o1 = jnp.maximum(off, 0)
+                Xb = xc_ref[pl.ds(o1, 1)][0]
+                acc = acc + jax.lax.dot_general(
+                    Xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                y_ref[pl.ds(o1, 1)] = y_ref[pl.ds(o1, 1)] + YC[None].astype(y_ref.dtype)
+                continue
+            in_cur = off < strip
+            o1 = jnp.clip(off, 0, strip - 1)
+            o2 = jnp.clip(off - strip, 0, strip - 1)
+            Xb = jnp.where(in_cur, xc_ref[pl.ds(o1, 1)], xn_ref[pl.ds(o2, 1)])[0]
+            acc = acc + jax.lax.dot_general(
+                Xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+            @pl.when(in_cur)
+            def _(o1=o1, YC=YC):
+                y_ref[pl.ds(o1, 1)] = y_ref[pl.ds(o1, 1)] + YC[None].astype(y_ref.dtype)
+
+            @pl.when(jnp.logical_not(in_cur))
+            def _(o2=o2, YC=YC):
+                carry_ref[pl.ds(o2, 1)] = carry_ref[pl.ds(o2, 1)] + YC[None]
+
+        y_ref[pl.ds(i, 1)] = y_ref[pl.ds(i, 1)] + acc[None].astype(y_ref.dtype)
+
+
+def _sym_stream_matmat_call(sym, x3: jax.Array, strip: int, interpret: bool) -> jax.Array:
+    """pallas_call plumbing for :func:`_sym_spmm_stream_kernel`; ``x3``
+    is the padded (nbc, p, bn) f32 slab stack."""
+    nbr, ku, bm, bn = sym.upper_data.shape
+    reach = max(sym.band_reach, 0)
+    if reach > strip:
+        raise ValueError(
+            f"streaming sym SpMM needs strip >= band_reach ({strip} < {reach})"
+        )
+    p = x3.shape[1]
+    ngrid = nbr // strip
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ngrid,),
+        in_specs=[
+            pl.BlockSpec(
+                (strip, bm, bn), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (strip, ku, bm, bn), lambda i, cols: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (strip, p, bn), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (strip, p, bn),
+                lambda i, cols: (jnp.minimum(i + 1, ngrid - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (strip, p, bm), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((strip, p, bm), jnp.float32)],
+    )
+    itemsize = sym.upper_data.dtype.itemsize
+    y = pl.pallas_call(
+        partial(_sym_spmm_stream_kernel, ku, strip, reach),
+        out_shape=jax.ShapeDtypeStruct((nbr, p, bm), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (sym.diag_data.size + 2 * sym.upper_data.size) * p,
+            bytes_accessed=(sym.diag_data.size + sym.upper_data.size) * itemsize
+            + 2 * x3.size * 4
+            + nbr * p * bm * 4,
+            transcendentals=0,
+        ),
+    )(sym.upper_cols.reshape(-1), sym.diag_data, sym.upper_data, x3, x3)
+    return y
+
+
 def _sym_spmm_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_ref, y_ref):
     """Multi-RHS generalization of :func:`_sym_spmv_kernel`: Y = A·X with
     A in diag + strictly-upper block storage and X a panel of ``p`` RHS
@@ -489,13 +617,27 @@ def sym_bsr_matmat_pallas(
         if rows_per is None
         else rows_per
     )
-    if R <= 0 or nbr % R:
-        return sym._xla_matmat(X)
     x2 = X.astype(jnp.float32)
     if p != p_in:
         x2 = jnp.pad(x2, ((0, 0), (0, p - p_in)))
     # (n, p) -> (nbc, p, bn) transposed slabs: p sublanes, block axis lanes
     x3 = x2.reshape(nbc, bn, p).transpose(0, 2, 1)
+    if R <= 0 or nbr % R:
+        # resident panels don't fit: STREAMING SpMM for banded operators
+        # (strip-windowed X slabs, carried Y scatter — no size cap)
+        reach = getattr(sym, "band_reach", -1)
+        strip = (
+            _pick_sym_spmm_strip(
+                nbr, ku, bm, bn, p, sym.upper_data.dtype.itemsize, reach
+            )
+            if reach >= 0
+            else 0
+        )
+        if strip:
+            y = _sym_stream_matmat_call(sym, x3, strip, interpret)
+            out = y.transpose(0, 2, 1).reshape(sym.shape[0], p)
+            return out[:, :p_in] if p != p_in else out
+        return sym._xla_matmat(X)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -76,3 +76,18 @@ def test_cgs2_distributed_matches_single(key):
     w_sh, c_sh = f(V, v)
     np.testing.assert_allclose(w_sh, w_ref, atol=1e-12)
     np.testing.assert_allclose(c_sh, c_ref, atol=1e-12)
+
+
+def test_orthogonal_complement_debug():
+    """Debug twin (OrthogonalSpaceDebug util.hpp:473-514): the returned
+    diagnostics certify complement ⊥ span, orthonormality, completeness."""
+    import numpy as np
+    from eigenex_tpu.ops.orthogonalize import orthogonal_complement_debug
+
+    rng = np.random.default_rng(8)
+    V = jnp.asarray(rng.standard_normal((3, 10)))
+    R, diag = orthogonal_complement_debug(V)
+    assert R.shape == (7, 10)
+    assert float(diag["max_overlap"]) < 1e-12
+    assert float(diag["orthonormality"]) < 1e-12
+    assert float(diag["completeness"]) < 1e-12

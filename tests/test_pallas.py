@@ -301,3 +301,49 @@ class TestSymStreamKernel:
         )
         y = sym_bsr_matvec_pallas(sym, x, interpret=True, rows_per=0)
         np.testing.assert_allclose(y, bsr.matvec(x), rtol=2e-5, atol=1e-4)
+
+
+class TestSymStreamSpMM:
+    """Streaming symmetric SpMM (round 3): the matmat twin of the
+    streaming matvec kernel — no resident-panel size cap for banded
+    symmetric operators."""
+
+    def test_stream_matmat_matches_full(self):
+        from eigenex_tpu.ops.pallas_spmv import _sym_stream_matmat_call
+
+        bsr = sym_banded_bsr(32, 128)
+        sym = sym_bsr_from_bsr(bsr)
+        for p in (8, 16):
+            X = jnp.asarray(
+                np.random.default_rng(30 + p)
+                .standard_normal((bsr.shape[1], p))
+                .astype(np.float32)
+            )
+            x3 = X.reshape(-1, 128, p).transpose(0, 2, 1)
+            for strip in (8, 16):  # multi-strip: carry exercised
+                y = _sym_stream_matmat_call(sym, x3, strip, interpret=True)
+                out = y.transpose(0, 2, 1).reshape(bsr.shape[0], p)
+                np.testing.assert_allclose(out, bsr.matmat(X), rtol=2e-5, atol=1e-3)
+
+    def test_dispatcher_stream_fallback(self, monkeypatch):
+        """When the resident panels don't fit, a banded operand takes the
+        streaming SpMM instead of the XLA scatter-add."""
+        import eigenex_tpu.ops.pallas_spmv as ps
+
+        bsr = sym_banded_bsr(16, 128)
+        sym = sym_bsr_from_bsr(bsr)
+        X = jnp.asarray(
+            np.random.default_rng(31).standard_normal((bsr.shape[1], 5)).astype(np.float32)
+        )
+        monkeypatch.setattr(ps, "_pick_sym_rows_per", lambda *a, **k: 0)
+        called = {}
+        orig = ps._sym_stream_matmat_call
+
+        def spy(sym_, x3, strip, interpret):
+            called["strip"] = strip
+            return orig(sym_, x3, strip, interpret)
+
+        monkeypatch.setattr(ps, "_sym_stream_matmat_call", spy)
+        Y = ps.sym_bsr_matmat_pallas.__wrapped__(sym, X, interpret=True, rows_per=None)
+        assert called, "streaming SpMM was not dispatched"
+        np.testing.assert_allclose(Y, bsr.matmat(X), rtol=2e-5, atol=1e-3)
