@@ -191,6 +191,15 @@ def main():
             t = time_dispatch_pipeline(
                 lambda s, v: sym_bsr_matvec_pallas(s, v), sym16, x
             )
+            # the fused fori_loop chain removes per-dispatch tunnel jitter
+            # (measured 1.1-2x higher than the pipelined slope under
+            # load); the persistent compile cache keeps its one big
+            # compile a first-run-only cost
+            try:
+                t_chain = time_fn(make_chained(sym_bsr_matvec_pallas), sym16, x)
+                t = min(t, t_chain)
+            except Exception as e:
+                print(f"# sym chained timing skipped: {type(e).__name__}: {e}", file=sys.stderr)
             rates["pallas sym bf16"] = nnz / t
             # streaming-kernel traffic: stored diag+upper blocks bf16,
             # x read twice (cur+next strip windows, f32), y written once
