@@ -83,6 +83,8 @@ __all__ = [
     "sym_halo_matvec",
     "sym_halo_matmat",
     "mesh_operator",
+    "mesh_operator_2d",
+    "split_bsr_grid",
     "split_bsr_halo",
     "split_sym_bsr_halo",
     "split_bsr_colpanels",
@@ -1141,6 +1143,134 @@ def sym_halo_matmat(
     )
     Y = Y + lax.ppermute(YC, axis_name, right_perm)
     return Y
+
+
+def split_bsr_grid(bsr: BSRMatrix, n_row_shards: int, n_col_shards: int):
+    """Host-side split of a BSR matrix into an R×C grid of panels with
+    *panel-local* block-column ids, stacked rows-major (panel (r, c) at
+    index r·C + c) so ``P(("rows", "cols"))`` sharding hands each device
+    of a 2-D mesh its own panel — the 2-D SpMV layout (SURVEY.md §7's
+    "1D/2D device mesh").
+
+    Returns (data (R·C·nbr_l, kmax_p, bm, bn), cols (R·C·nbr_l, kmax_p))
+    where nbr_l = nbr / R."""
+    nbr, nbc = bsr.n_block_rows, bsr.n_block_cols
+    if nbr % n_row_shards or nbc % n_col_shards:
+        raise EigenexError(
+            f"grid split needs {n_row_shards} | {nbr} block rows and "
+            f"{n_col_shards} | {nbc} block cols — pad_bsr_for_mesh first"
+        )
+    rows_per = nbr // n_row_shards
+    cols_per = nbc // n_col_shards
+    data = np.asarray(bsr.data)
+    cols = np.asarray(bsr.block_cols)
+    kmax = bsr.k_max
+    bm, bn = bsr.block_shape
+
+    buckets: dict[tuple, list] = {}
+    kmax_p = 1
+    for r in range(nbr):
+        for k in range(kmax):
+            blk = data[r, k]
+            if not np.any(blk):
+                continue
+            c = int(cols[r, k])
+            key = (r // rows_per, c // cols_per, r % rows_per)
+            buckets.setdefault(key, []).append((c % cols_per, blk))
+            kmax_p = max(kmax_p, len(buckets[key]))
+    R, C = n_row_shards, n_col_shards
+    out_d = np.zeros((R * C * rows_per, kmax_p, bm, bn), data.dtype)
+    out_c = np.zeros((R * C * rows_per, kmax_p), np.int32)
+    for (rg, cg, lr), bucket in buckets.items():
+        base = (rg * C + cg) * rows_per + lr
+        for slot, (lc, blk) in enumerate(bucket):
+            out_d[base, slot] = blk
+            out_c[base, slot] = lc
+    return jnp.asarray(out_d), jnp.asarray(out_c)
+
+
+def _local_grid2d_matvec(params, x_local, *, row_axis, col_axis, bn, use_pallas=False):
+    """2-D-partitioned SpMV body (runs inside shard_map over BOTH axes).
+
+    Device (r, c) holds operator panel (r, c) and an x shard laid out
+    ``P((cols, rows))`` — gathering along the ROW axis therefore
+    reconstitutes exactly the n/C column panel this device multiplies
+    (natural global ordering throughout, no host-side permutation).  The
+    partial n/R result reduces with ``psum_scatter`` along the COLUMN
+    axis into a ``P((rows, cols))`` y shard.  Wire per device per
+    matvec: n/C (gather) + n/R (reduce-scatter) — vs n for the 1-D
+    all-gather — and the y→x re-layout between chained matvecs is a
+    plain resharding XLA inserts automatically."""
+    data, cols = params
+    x_panel = lax.all_gather(x_local, row_axis, tiled=True)  # (n/C,)
+    y_partial = _local_ell_spmv(data, cols, x_panel, use_pallas)  # (n/R,)
+    return lax.psum_scatter(y_partial, col_axis, scatter_dimension=0, tiled=True)
+
+
+def _local_grid2d_matmat(params, X_local, *, row_axis, col_axis, bn, use_pallas=False):
+    """Multi-RHS twin of :func:`_local_grid2d_matvec`."""
+    data, cols = params
+    X_panel = lax.all_gather(X_local, row_axis, tiled=True)  # (n/C, p)
+    Y_partial = _local_ell_spmm(data, cols, X_panel)  # (n/R, p)
+    return lax.psum_scatter(Y_partial, col_axis, scatter_dimension=0, tiled=True)
+
+
+_GRID2D_CACHE: dict = {}
+
+
+def _get_grid2d_apply(mesh, row_axis, col_axis, bn, use_pallas, matmat: bool):
+    key = (mesh, row_axis, col_axis, bn, use_pallas, matmat)
+    fn = _GRID2D_CACHE.get(key)
+    if fn is not None:
+        return fn
+    body = _local_grid2d_matmat if matmat else _local_grid2d_matvec
+    tail = (None,) if matmat else ()
+    x_spec = P((col_axis, row_axis), *tail)
+    y_spec = P((row_axis, col_axis), *tail)
+    sharded = shard_map(
+        partial(body, row_axis=row_axis, col_axis=col_axis, bn=bn, use_pallas=use_pallas),
+        mesh=mesh,
+        in_specs=((P((row_axis, col_axis)), P((row_axis, col_axis))), x_spec),
+        out_specs=y_spec,
+        check_vma=not use_pallas,
+    )
+    fn = jax.jit(sharded)
+    _GRID2D_CACHE[key] = fn
+    return fn
+
+
+def mesh_operator_2d(
+    A: BSRMatrix,
+    mesh: Mesh,
+    *,
+    row_axis: str | None = None,
+    col_axis: str | None = None,
+    use_pallas: bool | str = False,
+) -> LinearOperator:
+    """Global-array operator over a 2-D device mesh: the operator splits
+    into an R×C panel grid, x shards over (cols, rows), y over
+    (rows, cols), and each matvec/matmat costs n/C + n/R wire per device
+    instead of the 1-D all-gather's n — the general-sparsity scaling
+    layout for pods (SURVEY.md §7).  Chained applications reshard y→x
+    automatically (one small device-permute XLA inserts)."""
+    if len(mesh.axis_names) < 2:
+        raise EigenexError("mesh_operator_2d needs a 2-axis mesh")
+    row_axis = row_axis or mesh.axis_names[0]
+    col_axis = col_axis or mesh.axis_names[1]
+    R, C = mesh.shape[row_axis], mesh.shape[col_axis]
+    if A.shape[0] != A.shape[1]:
+        raise EigenexError("mesh_operator_2d requires a square operator")
+    data, cols = split_bsr_grid(A, R, C)
+    bn = A.block_shape[1]
+    mv = partial(
+        _call_mesh_fn, _get_grid2d_apply(mesh, row_axis, col_axis, bn, use_pallas, False)
+    )
+    mm = partial(
+        _call_mesh_fn, _get_grid2d_apply(mesh, row_axis, col_axis, bn, use_pallas, True)
+    )
+    return LinearOperator(
+        mv, ((data, cols),), A.shape, _acc_dtype_of(A.dtype), matmat_fn=mm
+    )
 
 
 _MESH_OP_CACHE: dict = {}
