@@ -204,6 +204,36 @@ def eigsh(
         indices, n_track, lm_post = _which_indices(which, k)
         m = min(max_subspace or max(6 * n_track + 32, 64), n)
         axis_name = mesh.axis_names[0]
+        if len(mesh.axis_names) >= 2:
+            # 2-axis mesh: panel-grid operator (n/C + n/R wire per
+            # matvec) under the single-controller thick-restart driver
+            from ..parallel.distributed import (
+                _padding_safe_v0,
+                mesh_operator_2d,
+                pad_bsr_for_mesh,
+            )
+
+            nrc = mesh.shape[axis_name] * mesh.shape[mesh.axis_names[1]]
+            padded = pad_bsr_for_mesh(bsr_op, nrc)
+            op2 = mesh_operator_2d(padded, mesh)
+            solver = ThickRestartLanczosEigenSolver(
+                op2,
+                ThickRestartOptions(
+                    max_eigenvalues=n_track, eigenvalue_indices=indices,
+                    tolerance=tol, max_subspace=m, max_restarts=max_restarts,
+                    seed=seed,
+                ),
+            )
+            if padded.shape[0] != n:
+                solver.set_initial_vector(
+                    _padding_safe_v0(n, padded.shape[0], op2.dtype, seed)
+                )
+            res = solver.compute()
+            if res.eigenvectors is not None and res.eigenvectors.shape[0] != n:
+                res.eigenvectors = res.eigenvectors[:n]
+            if lm_post:
+                res = _postselect_lm(res, k)
+            return _maybe_refine_hermitian(res, coo, refine)
         res = DistributedThickRestartLanczosEigenSolver(
             bsr_op,
             mesh,

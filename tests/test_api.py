@@ -330,3 +330,18 @@ def test_eigs_sigma_mesh_interior():
         lam = complex(res.eigenvalues[j])
         r = np.linalg.norm(A @ v - lam * v) / np.linalg.norm(v)
         assert r < 1e-6, f"pair {j}: residual {r:.2e}"
+
+
+def test_eigsh_2d_mesh_route():
+    """A 2-axis mesh routes eigsh through the panel-grid operator
+    (mesh_operator_2d) with padding-safe v0 — results match closed form."""
+    import jax
+    from jax.sharding import Mesh
+
+    coo, A = _laplacian_coo(132)  # 33 block rows of 4: pads to 40 over 8
+    mesh = Mesh(np.array(jax.devices("cpu")).reshape(2, 4), ("r", "c"))
+    res = eigsh(coo, k=2, which="SA", tol=1e-13, mesh=mesh,
+                max_subspace=48, max_restarts=300, block_shape=(4, 4))
+    exact = [2 - 2 * np.cos((j + 1) * np.pi / 133) for j in range(2)]
+    np.testing.assert_allclose(res.eigenvalues, exact, atol=1e-9)
+    assert res.eigenvectors.shape == (132, 2)
