@@ -428,6 +428,20 @@ def mesh_filter_operand(A, mesh, matvec_mode, spectral_bounds, seed, use_pallas=
         lo, hi = A.estimate_eigenvalue_range()
         bounds = (float(lo), float(hi))
     axis = mesh.axis_names[0]
+    if len(mesh.axis_names) >= 2:
+        # 2-axis mesh: panel-grid operator (full-storage BSR only)
+        from ..parallel.distributed import mesh_operator_2d
+
+        if isinstance(A, SymBSRMatrix):
+            raise LanczosError(
+                "2-axis meshes use the panel-grid operator, which needs "
+                "full-storage BSR — convert the SymBSRMatrix, or use a "
+                "1-axis mesh with matvec_mode='sym_halo'"
+            )
+        nrc = mesh.shape[axis] * mesh.shape[mesh.axis_names[1]]
+        padded = pad_bsr_for_mesh(A, nrc)
+        op = mesh_operator_2d(padded, mesh, use_pallas=use_pallas)
+        return op, orig_n, padded.shape[0], bounds
     padded = pad_bsr_for_mesh(A, mesh.shape[axis])
     op = mesh_operator(
         padded, mesh, axis_name=axis, matvec_mode=matvec_mode, use_pallas=use_pallas

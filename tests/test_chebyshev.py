@@ -202,3 +202,19 @@ class TestMeshWindow:
         want = ev[(ev >= window[0]) & (ev <= window[1])]
         np.testing.assert_allclose(np.sort(res.eigenvalues), want, atol=1e-10)
         assert res.eigenvectors.shape[0] == A.shape[0]
+
+    def test_mesh_window_2d(self):
+        """2-axis mesh: the filter SpMM chain runs on the panel-grid
+        operator (round-3 mesh_operator_2d)."""
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        from eigenex_tpu.solvers.chebyshev import eigsh_window
+
+        bsr, A = self._operator(nbr=24)
+        ev = np.linalg.eigvalsh(A)
+        window = (float(ev[40]) - 1e-6, float(ev[45]) + 1e-6)
+        mesh = Mesh(np.array(jax.devices("cpu")).reshape(2, 4), ("r", "c"))
+        res = eigsh_window(bsr, window, block_size=10, degree=60, tol=1e-11, mesh=mesh)
+        want = ev[(ev >= window[0]) & (ev <= window[1])]
+        np.testing.assert_allclose(np.sort(res.eigenvalues), want, atol=1e-10)
