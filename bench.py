@@ -139,6 +139,30 @@ def roofline_fraction(rate_nnz_s: float, nnz: int, bytes_per_matvec: int) -> flo
     return (bytes_per_matvec / dt) / (HBM_PEAK_GBS * 1e9)
 
 
+def best_plausible_time(matvec, operand, x, bytes_per_matvec, nnz) -> float:
+    """Per-matvec seconds from BOTH timing modes, keeping only
+    PHYSICALLY PLAUSIBLE samples: the axon tunnel's readback does not
+    reliably block, and an under-measured two-point slope can imply
+    impossible bandwidth (>100% of HBM peak) — those samples are
+    artifacts, not speed.  A rate is accepted only if its implied
+    bandwidth stays within 1.05x the HBM roofline; among accepted
+    samples the fastest wins (fused chain is usually it)."""
+    cands = []
+    try:
+        cands.append(time_fn(make_chained(matvec), operand, x))
+    except Exception as e:  # pragma: no cover - tunnel-compile hiccups
+        print(f"# chained timing failed: {type(e).__name__}: {e}", file=sys.stderr)
+    try:
+        cands.append(time_dispatch_pipeline(matvec, operand, x))
+    except Exception as e:  # pragma: no cover
+        print(f"# pipelined timing failed: {type(e).__name__}: {e}", file=sys.stderr)
+    if not cands:
+        raise RuntimeError("no timing sample succeeded")
+    floor = bytes_per_matvec / (1.05 * HBM_PEAK_GBS * 1e9)
+    ok = [t for t in cands if t >= floor]
+    return min(ok) if ok else max(cands)
+
+
 def serial_scatter_baseline(nnz_sample: int = 2_000_000) -> float:
     """Reference cost model: serial COO scatter out[row] += in[col]*v
     (triplets_matrix.hpp:314-318) on the host CPU.  Returns nnz/s."""
@@ -188,32 +212,25 @@ def main():
         y_x = bsr16.matvec(x)
         err = float(jnp.linalg.norm(y_s - y_x) / jnp.linalg.norm(y_x))
         if err < 1e-4:
-            t = time_dispatch_pipeline(
-                lambda s, v: sym_bsr_matvec_pallas(s, v), sym16, x
-            )
-            # the fused fori_loop chain removes per-dispatch tunnel jitter
-            # (measured 1.1-2x higher than the pipelined slope under
-            # load); the persistent compile cache keeps its one big
-            # compile a first-run-only cost
-            try:
-                t_chain = time_fn(make_chained(sym_bsr_matvec_pallas), sym16, x)
-                t = min(t, t_chain)
-            except Exception as e:
-                print(f"# sym chained timing skipped: {type(e).__name__}: {e}", file=sys.stderr)
-            rates["pallas sym bf16"] = nnz / t
             # streaming-kernel traffic: stored diag+upper blocks bf16,
             # x read twice (cur+next strip windows, f32), y written once
             path_bytes["pallas sym bf16"] = (
                 (sym16.diag_data.size + sym16.upper_data.size) * 2 + 3 * n * 4
             )
+            t = best_plausible_time(
+                sym_bsr_matvec_pallas, sym16, x, path_bytes["pallas sym bf16"], nnz
+            )
+            rates["pallas sym bf16"] = nnz / t
         else:
             print(f"# sym pallas disagrees (rel err {err:.2e})", file=sys.stderr)
     except Exception as e:
         print(f"# sym pallas unavailable: {type(e).__name__}: {e}", file=sys.stderr)
 
-    t = time_dispatch_pipeline(lambda b, v: b.matvec(v), bsr16, x)
-    rates["xla bf16"] = nnz / t
     path_bytes["xla bf16"] = bsr16.data.size * 2 + 2 * n * 4
+    t = best_plausible_time(
+        lambda b, v: b.matvec(v), bsr16, x, path_bytes["xla bf16"], nnz
+    )
+    rates["xla bf16"] = nnz / t
 
     if full:
         try:

@@ -72,6 +72,7 @@ from .mesh import ROWS, make_mesh
 
 __all__ = [
     "pad_bsr_for_mesh",
+    "pad_bsr_rect",
     "distributed_lanczos_steps",
     "distributed_arnoldi_steps",
     "DistributedLanczosEigenSolver",
@@ -144,6 +145,29 @@ def pad_bsr_for_mesh(bsr, n_shards: int):
     m = bsr.shape[0] + pad * bm
     n = max(bsr.shape[1], m) if bsr.shape[0] == bsr.shape[1] else bsr.shape[1]
     return BSRMatrix(data, cols, (m, n))
+
+
+def pad_bsr_rect(bsr: BSRMatrix, n_shards: int) -> BSRMatrix:
+    """Rectangular twin of :func:`pad_bsr_for_mesh`: zero-pad block ROWS
+    and block COLS independently to multiples of ``n_shards`` — the svds
+    Gram pipeline needs both A and Aᴴ row-partitionable.  Column padding
+    is a pure shape extension (the padded block columns hold no data)."""
+    nbr = bsr.n_block_rows
+    nbc = bsr.n_block_cols
+    bm, bn = bsr.block_shape
+    padr = (-nbr) % n_shards
+    padc = (-nbc) % n_shards
+    data, cols = bsr.data, bsr.block_cols
+    if padr:
+        data = jnp.concatenate(
+            [data, jnp.zeros((padr, bsr.k_max, bm, bn), bsr.dtype)], axis=0
+        )
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((padr, bsr.k_max), jnp.int32)], axis=0
+        )
+    if not padr and not padc:
+        return bsr
+    return BSRMatrix(data, cols, ((nbr + padr) * bm, (nbc + padc) * bn))
 
 
 def _acc_dtype_of(dtype):

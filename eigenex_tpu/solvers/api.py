@@ -525,6 +525,16 @@ def _gram_left_mv(op, x):  # G = AA†
     return op.matvec(op.rmatvec(x))
 
 
+def _mesh_gram_right_mv(p, x):  # G = AᴴA through two mesh matvecs
+    opA, opH = p
+    return opH.matvec(opA.matvec(x))
+
+
+def _mesh_gram_left_mv(p, x):  # G = AAᴴ
+    opA, opH = p
+    return opA.matvec(opH.matvec(x))
+
+
 def svds(
     A,
     k: int = 6,
@@ -534,6 +544,9 @@ def svds(
     max_restarts: int = 200,
     seed: int = 0,
     return_singular_vectors: bool = True,
+    mesh=None,
+    matvec_mode: str = "allgather",
+    block_shape: tuple[int, int] | None = None,
 ):
     """Top-``k`` singular triplets of a sparse / matrix-free operator —
     scipy.sparse.linalg.svds-style one-call front end.
@@ -546,10 +559,76 @@ def svds(
     (dense, COOMatrix, or a LinearOperator with ``rmatvec_fn``).
 
     Returns ``(U (nrows,k), s (k,) descending, Vh (k,ncols))``, or just
-    ``s`` when ``return_singular_vectors=False``."""
+    ``s`` when ``return_singular_vectors=False``.
+
+    ``mesh``: run both Gram matvecs (A then Aᴴ, each a shard_map'd
+    row-partitioned SpMV) over the device mesh — sparse operands only;
+    rows AND cols pad independently to the mesh (``pad_bsr_rect``)."""
     import jax.numpy as jnp
 
     op, coo, bsr = _resolve_operand(A)
+    if mesh is not None:
+        from ..parallel.distributed import (
+            _padding_safe_v0,
+            mesh_operator,
+            pad_bsr_rect,
+        )
+
+        bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
+        axis = mesh.axis_names[0]
+        padded = pad_bsr_rect(bsr_op, mesh.shape[axis])
+        padH = padded.adjoint()
+        opA = mesh_operator(padded, mesh, axis_name=axis, matvec_mode=matvec_mode)
+        opH = mesh_operator(padH, mesh, axis_name=axis, matvec_mode=matvec_mode)
+        nrows, ncols = op.shape  # the ORIGINAL (unpadded) problem
+        small = min(nrows, ncols)
+        if k > small:
+            raise EigenexError(f"k={k} exceeds min(shape)={small}")
+        use_right = ncols <= nrows
+        dim = ncols if use_right else nrows
+        dim_pad = padded.shape[1] if use_right else padded.shape[0]
+        g = LinearOperator(
+            _mesh_gram_right_mv if use_right else _mesh_gram_left_mv,
+            (opA, opH),
+            (dim_pad, dim_pad),
+            opA.dtype,
+        )
+        m = min(max_subspace or max(4 * k + 16, 32), dim)
+        indices = tuple(range(-k, 0))
+        if m >= dim:
+            solver = LanczosEigenSolver(
+                g,
+                LanczosOptions(
+                    max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                    max_subspace=min(dim_pad, m + (dim_pad - dim)), seed=seed,
+                    compute_eigenvectors=return_singular_vectors,
+                ),
+            )
+        else:
+            solver = ThickRestartLanczosEigenSolver(
+                g,
+                ThickRestartOptions(
+                    max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                    max_subspace=m, max_restarts=max_restarts, seed=seed,
+                    compute_eigenvectors=return_singular_vectors,
+                ),
+            )
+        if dim_pad != dim:
+            solver.set_initial_vector(_padding_safe_v0(dim, dim_pad, g.dtype, seed))
+        res = solver.compute()
+        theta = np.maximum(np.asarray(res.eigenvalues)[::-1], 0.0)
+        s = np.sqrt(theta)
+        if not return_singular_vectors:
+            return s
+        W = res.eigenvectors[:, ::-1]  # (dim_pad, k), descending σ
+        safe = jnp.asarray(np.where(s > 0, s, 1.0), g.dtype)
+        if use_right:
+            V = W  # padded right singular vectors
+            U = opA.matmat(V) / safe[None, :]
+        else:
+            U = W
+            V = opH.matmat(U) / jnp.conj(safe)[None, :]
+        return U[:nrows], s, jnp.conj(V[:ncols]).T
     if not op.has_adjoint:
         raise EigenexError(
             "svds requires an operator with an adjoint (rmatvec); dense "

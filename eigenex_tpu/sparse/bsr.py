@@ -144,6 +144,37 @@ class BSRMatrix:
     def scalar_multiple(self, c) -> "BSRMatrix":
         return BSRMatrix(self.data * c, self.block_cols, self.shape)
 
+    def transpose(self) -> "BSRMatrix":
+        """Aᵀ as a new BSR-ELL container (host-side repack: block (r, c)
+        becomes blockᵀ at (c, r) — cf. TripletsMatrix::transpose
+        triplets_matrix.hpp:386-404).  Feeds the Gram operators of
+        ``svds`` and rmatvec-needing pipelines."""
+        data = np.asarray(self.data)
+        cols = np.asarray(self.block_cols)
+        nbr, kmax, bm, bn = data.shape
+        nbc = self.n_block_cols
+        nz = data.reshape(nbr, kmax, -1).any(axis=2)
+        buckets: list[list] = [[] for _ in range(nbc)]
+        for r, k in zip(*np.where(nz)):
+            buckets[int(cols[r, k])].append((int(r), data[r, k].T))
+        kk = max(max((len(b) for b in buckets), default=0), 1)
+        out_d = np.zeros((nbc, kk, bn, bm), data.dtype)
+        out_c = np.zeros((nbc, kk), np.int32)
+        for c, bucket in enumerate(buckets):
+            for slot, (r, blk) in enumerate(bucket):
+                out_d[c, slot] = blk
+                out_c[c, slot] = r
+        return BSRMatrix(
+            jnp.asarray(out_d), jnp.asarray(out_c), (self.shape[1], self.shape[0])
+        )
+
+    def adjoint(self) -> "BSRMatrix":
+        """Aᴴ (cf. TripletsMatrix::adjoint triplets_matrix.hpp:406-421)."""
+        t = self.transpose()
+        if jnp.issubdtype(self.dtype, jnp.complexfloating):
+            return BSRMatrix(jnp.conj(t.data), t.block_cols, t.shape)
+        return t
+
     # -- spectral-range estimation ---------------------------------------
     def gershgorin_discs(self):
         """Per-row (center, radius) of the Gershgorin discs, computed on
