@@ -152,6 +152,37 @@ def main():
         file=sys.stderr,
     )
 
+    # streaming sym SpMM at full scale (p=8 RHS columns): the block-
+    # filter feed (Chebyshev/KPM/block Lanczos) past the resident cap
+    p = 8
+    Xs = jax.random.normal(jax.random.PRNGKey(5), (n_s, p), jnp.float32)
+
+    @jax.jit
+    def chain_mm(s, V, k):
+        def body(_, V):
+            Y = s.matmat(V)
+            return (Y / jnp.linalg.norm(Y)).astype(jnp.float32)
+
+        out = jax.lax.fori_loop(0, k, body, V)
+        return jnp.vdot(out[:, 0], out[:, 0])
+
+    k1m, k2m = 2, 8
+    for k in (k1m, k2m):
+        float(chain_mm(sym, Xs, k))
+    bm_t = {k1m: np.inf, k2m: np.inf}
+    for _ in range(3):
+        for k in (k1m, k2m):
+            t0 = time.perf_counter()
+            float(chain_mm(sym, Xs, k))
+            bm_t[k] = min(bm_t[k], time.perf_counter() - t0)
+    per_mm = (bm_t[k2m] - bm_t[k1m]) / (k2m - k1m)
+    print(
+        f"# sym SpMM (p=8, streaming kernel): {per_mm*1e3:.2f} ms "
+        f"({nnz_eff/per_mm/1e9:.1f} eff Gnnz/s per col, "
+        f"{nnz_eff*p/per_mm/1e12:.2f} Tnnz·p/s)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -164,6 +195,7 @@ def main():
                 "sym_n_rows": n_s,
                 "sym_effective_nnz_per_s": nnz_eff / per_s,
                 "sym_lanczos_iter_ms": per_it_s * 1e3,
+                "sym_spmm_p8_eff_nnz_per_s": nnz_eff / per_mm,
             }
         )
     )
