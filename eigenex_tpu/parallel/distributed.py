@@ -1119,11 +1119,11 @@ def halo_matmat(
     return Y
 
 
-def _local_sym_matmat(diag, ud, uc, X, use_pallas):
+def _local_sym_matmat(diag, ud, uc, X, use_pallas, sym_reach: int = -1):
     from ..sparse.sym_bsr import SymBSRMatrix
 
     n_local = diag.shape[0] * diag.shape[1]
-    sym_local = SymBSRMatrix(diag, ud, uc, (n_local, n_local))
+    sym_local = SymBSRMatrix(diag, ud, uc, (n_local, n_local), sym_reach)
     if use_pallas:
         from ..ops.pallas_spmv import sym_bsr_matmat_pallas
 
@@ -1147,7 +1147,7 @@ def sym_halo_matmat(
     p = X_local.shape[1]
 
     with jax.named_scope("sym_halo_local_spmm"):
-        Y = _local_sym_matmat(diag, ud, uc, X_local, use_pallas)
+        Y = _local_sym_matmat(diag, ud, uc, X_local, use_pallas, sym_reach)
 
     # boundary: Y[r] += B X_next[c]
     Y = Y + _local_ell_spmm(rd, rc, X_from_right)
