@@ -53,7 +53,7 @@ def project_coefficients(V, v, axis_name=None, mask=None):
     ``mask`` (k,) zeroes out coefficients of inactive basis rows — used
     by fixed-shape solver loops where only rows < k are valid.
     """
-    c = _psum_if(V.conj() @ v, axis_name)
+    c = _psum_if(jnp.matmul(V.conj(), v, precision="highest"), axis_name)
     if mask is not None:
         c = jnp.where(mask, c, jnp.zeros_like(c))
     return c
@@ -62,7 +62,7 @@ def project_coefficients(V, v, axis_name=None, mask=None):
 def project_out(V, v, axis_name=None, mask=None):
     """One classical-GS pass: ``v - sum_j <V_j, v> V_j``."""
     c = project_coefficients(V, v, axis_name, mask)
-    return v - c @ V
+    return v - jnp.matmul(c, V, precision="highest")
 
 
 def cgs2(V, v, axis_name=None, mask=None):
@@ -75,9 +75,9 @@ def cgs2(V, v, axis_name=None, mask=None):
     Hessenberg column.
     """
     c1 = project_coefficients(V, v, axis_name, mask)
-    v = v - c1 @ V
+    v = v - jnp.matmul(c1, V, precision="highest")
     c2 = project_coefficients(V, v, axis_name, mask)
-    v = v - c2 @ V
+    v = v - jnp.matmul(c2, V, precision="highest")
     return v, c1 + c2
 
 

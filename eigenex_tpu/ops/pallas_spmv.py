@@ -36,6 +36,23 @@ __all__ = [
 ]
 
 
+def _dot_precision(block_dtype):
+    """MXU precision for a kernel whose blocks are stored as ``block_dtype``.
+
+    XLA:TPU (and Mosaic) multiply f32 dot_generals in ONE bf16 pass by
+    default — fine for bf16-stored operators (the data has bf16
+    precision anyway), but it silently floors f32-stored operators at
+    ~2.6e-3 relative error (measured on v5e; the XLA einsum path gives
+    1.1e-7).  f32 storage therefore requests HIGHEST (3-pass bf16 ≈ f32
+    multiply accuracy); the kernels are HBM-bound, so the extra passes
+    hide under the memory traffic."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if block_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 #: block rows processed per grid program — keeps the output tile
 #: (R, bm) legal for the (8, 128) f32 tiling rule and amortizes grid
 #: overhead; data tile per program is R·kmax·bm·bn·4 bytes.
@@ -57,6 +74,7 @@ def _spmv_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
     128/kmax× scalar memory and overflow the 1 MB SMEM budget."""
     r0 = pl.program_id(0) * rows_per
     bm = y_ref.shape[-1]
+    prec = _dot_precision(data_ref.dtype)
     for i in range(rows_per):
         acc = jnp.zeros((1, bm), jnp.float32)
         for k in range(kmax):
@@ -67,7 +85,7 @@ def _spmv_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
             blk = data_ref[i, k].astype(jnp.float32)  # (bm, bn)
             acc = acc + jax.lax.dot_general(
                 xb, blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
         y_ref[i, :] = acc[0].astype(y_ref.dtype)
 
@@ -190,19 +208,22 @@ def _sym_spmv_stream_kernel(
 
     y_ref[...] = carry_ref[...].astype(y_ref.dtype)
     carry_ref[...] = jnp.zeros_like(carry_ref)
+    prec = _dot_precision(diag_ref.dtype)
 
     for i in range(strip):
         xr = xc_ref[i, :][None, :]  # (1, bn) f32
         D = diag_ref[i].astype(jnp.float32)
         acc = jax.lax.dot_general(
-            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )
         for k in range(ku):
             c = cols_ref[(pid * strip + i) * ku + k]
             off = c - pid * strip  # padding slots (col 0, zero data) may go
             B = upper_ref[i, k].astype(jnp.float32)  # negative: clamp +
             yc = jax.lax.dot_general(  # add-zero is harmless
-                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                xr, B, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
             )
             if i + reach < strip:
                 # STATIC fast path (all but the last `reach` rows of the
@@ -212,7 +233,8 @@ def _sym_spmv_stream_kernel(
                 o1 = jnp.maximum(off, 0)
                 xb = xc_ref[pl.ds(o1, 1), :]
                 acc = acc + jax.lax.dot_general(
-                    xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                    xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                    precision=prec,
                 )
                 y_ref[pl.ds(o1, 1), :] = y_ref[pl.ds(o1, 1), :] + yc.astype(y_ref.dtype)
                 continue
@@ -221,7 +243,8 @@ def _sym_spmv_stream_kernel(
             o2 = jnp.clip(off - strip, 0, strip - 1)
             xb = jnp.where(in_cur, xc_ref[pl.ds(o1, 1), :], xn_ref[pl.ds(o2, 1), :])
             acc = acc + jax.lax.dot_general(
-                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=prec,
             )
 
             @pl.when(in_cur)
@@ -313,23 +336,27 @@ def _sym_spmv_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_re
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
+    prec = _dot_precision(diag_ref.dtype)
     for i in range(rows_per):
         r = r0 + i
         xr = x_ref[r, :][None, :]  # (1, bn)
         D = diag_ref[i].astype(jnp.float32)
         acc = jax.lax.dot_general(
-            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )
         for k in range(ku):
             c = cols_ref[r * ku + k]
             xb = x_ref[c, :][None, :]
             B = upper_ref[i, k].astype(jnp.float32)
             acc = acc + jax.lax.dot_general(
-                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=prec,
             )
             # transpose contribution y[c] += Bᵀ x[r]  (= x[r] · B)
             yc = jax.lax.dot_general(
-                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=prec,
             )
             y_ref[pl.ds(c, 1), :] = y_ref[pl.ds(c, 1), :] + yc.astype(y_ref.dtype)
         y_ref[pl.ds(r, 1), :] = y_ref[pl.ds(r, 1), :] + acc.astype(y_ref.dtype)
@@ -452,25 +479,29 @@ def _sym_spmm_stream_kernel(
 
     y_ref[...] = carry_ref[...].astype(y_ref.dtype)
     carry_ref[...] = jnp.zeros_like(carry_ref)
+    prec = _dot_precision(diag_ref.dtype)
 
     for i in range(strip):
         Xr = xc_ref[i]  # (p, bn) f32
         D = diag_ref[i].astype(jnp.float32)
         acc = jax.lax.dot_general(
-            Xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            Xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )  # (p, bm)
         for k in range(ku):
             c = cols_ref[(pid * strip + i) * ku + k]
             off = c - pid * strip
             B = upper_ref[i, k].astype(jnp.float32)
             YC = jax.lax.dot_general(
-                Xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                Xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=prec,
             )  # (p, bn)
             if i + reach < strip:
                 o1 = jnp.maximum(off, 0)
                 Xb = xc_ref[pl.ds(o1, 1)][0]
                 acc = acc + jax.lax.dot_general(
-                    Xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                    Xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                    precision=prec,
                 )
                 y_ref[pl.ds(o1, 1)] = y_ref[pl.ds(o1, 1)] + YC[None].astype(y_ref.dtype)
                 continue
@@ -479,7 +510,8 @@ def _sym_spmm_stream_kernel(
             o2 = jnp.clip(off - strip, 0, strip - 1)
             Xb = jnp.where(in_cur, xc_ref[pl.ds(o1, 1)], xn_ref[pl.ds(o2, 1)])[0]
             acc = acc + jax.lax.dot_general(
-                Xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                Xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=prec,
             )
 
             @pl.when(in_cur)
@@ -569,22 +601,26 @@ def _sym_spmm_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_re
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
+    prec = _dot_precision(diag_ref.dtype)
     for i in range(rows_per):
         r = r0 + i
         xr = x_ref[r]  # (p, bn) f32
         D = diag_ref[i].astype(jnp.float32)
         acc = jax.lax.dot_general(
-            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec,
         )  # (p, bm)
         for k in range(ku):
             c = cols_ref[r * ku + k]
             xb = x_ref[c]  # (p, bn)
             B = upper_ref[i, k].astype(jnp.float32)
             acc = acc + jax.lax.dot_general(
-                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=prec,
             )
             yc = jax.lax.dot_general(
-                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=prec,
             )  # (p, bn)
             y_ref[pl.ds(c, 1)] = y_ref[pl.ds(c, 1)] + yc[None]
         y_ref[pl.ds(r, 1)] = y_ref[pl.ds(r, 1)] + acc[None]
@@ -688,6 +724,7 @@ def _spmm_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
     VMEM overflow at n=196k).  Unlike the symmetric kernel no output
     scatter exists, so Y streams per program; only X is resident."""
     r0 = pl.program_id(0) * rows_per
+    prec = _dot_precision(data_ref.dtype)
     for i in range(rows_per):
         acc = jnp.zeros(y_ref.shape[-2:], jnp.float32)  # (p, bm)
         for k in range(kmax):
@@ -696,7 +733,7 @@ def _spmm_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
             blk = data_ref[i, k].astype(jnp.float32)  # (bm, bn)
             acc = acc + jax.lax.dot_general(
                 xb, blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
         y_ref[i] = acc.astype(y_ref.dtype)
 

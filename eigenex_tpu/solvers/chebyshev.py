@@ -180,7 +180,7 @@ def cholesky_qr2(X):
     Cholesky from failing on near-rank-deficient blocks."""
 
     def one(X):
-        G = X.conj().T @ X
+        G = jnp.matmul(X.conj().T, X, precision="highest")
         b = G.shape[0]
         eps = jnp.finfo(X.dtype).eps
         ridge = 10.0 * b * eps * (jnp.trace(jnp.real(G)) / b + eps)
@@ -198,15 +198,15 @@ def _rr_stage(op: LinearOperator, Q):
     """Rayleigh–Ritz on an orthonormal block: H = Qᴴ A Q (+ AQ reused
     for residuals after rotation on host)."""
     AQ = op.matmat(Q)
-    H = Q.conj().T @ AQ.astype(Q.dtype)
+    H = jnp.matmul(Q.conj().T, AQ.astype(Q.dtype), precision="highest")
     return AQ, H
 
 
 @jax.jit
 def _rotate_stage(Q, AQ, Y, lam):
     """X = Q·Y, R = (AQ)·Y − X·diag(λ), residual norms."""
-    X = Q @ Y
-    R = AQ.astype(Q.dtype) @ Y - X * lam[None, :]
+    X = jnp.matmul(Q, Y, precision="highest")
+    R = jnp.matmul(AQ.astype(Q.dtype), Y, precision="highest") - X * lam[None, :]
     rn = jnp.linalg.norm(R, axis=0)
     return X, rn
 

@@ -426,7 +426,7 @@ def _phase_fix(X: jax.Array, eps: float = 0.0) -> jax.Array:
 def _ritz_vectors(V: jax.Array, Y: jax.Array, k: int) -> jax.Array:
     """x_j = Σ_m Y[m, j] · V[m]  (lanczos.hpp:798-804), one MXU matmul;
     then normalize + phase-fix (:806-816)."""
-    X = V[:k].T @ Y.astype(V.dtype)  # (n, p)
+    X = jnp.matmul(V[:k].T, Y.astype(V.dtype), precision="highest")  # (n, p)
     X = X / jnp.linalg.norm(X, axis=0, keepdims=True)
     return _phase_fix(X)
 

@@ -79,8 +79,8 @@ def _gram_stage(op: LinearOperator, opB, S, *, has_b: bool):
     """Device stage 1: AS, BS and the two 3b×3b (or smaller) Grams."""
     AS = op.matmat(S)
     BS = opB.matmat(S) if has_b else S
-    GA = S.conj().T @ AS
-    GB = S.conj().T @ BS
+    GA = jnp.matmul(S.conj().T, AS, precision="highest")
+    GB = jnp.matmul(S.conj().T, BS, precision="highest")
     return AS, BS, GA, GB
 
 
@@ -93,12 +93,13 @@ def _update_stage(S, AS, BS, C, Cp, lam):
     a finiteness flag so the host loop can converge/fail without pulling
     the blocks themselves.
     """
-    X = S @ C
-    AX = AS @ C
-    BX = BS @ C
-    P = S @ Cp
-    AP = AS @ Cp
-    BP = BS @ Cp
+    mm = partial(jnp.matmul, precision="highest")
+    X = mm(S, C)
+    AX = mm(AS, C)
+    BX = mm(BS, C)
+    P = mm(S, Cp)
+    AP = mm(AS, Cp)
+    BP = mm(BS, Cp)
     R = AX - BX * lam[None, :]
     rn = jnp.linalg.norm(R, axis=0)
     ok = jnp.all(jnp.isfinite(rn))

@@ -59,7 +59,7 @@ def _compress_basis(V: jax.Array, Yk: jax.Array, r: jax.Array) -> jax.Array:
     m = Yk.shape[0]
     p = Yk.shape[1]
     out = jnp.zeros_like(V)
-    compressed = (V[:m].T @ Yk.astype(V.dtype)).T  # (p, n)
+    compressed = jnp.matmul(V[:m].T, Yk.astype(V.dtype), precision="highest").T  # (p, n)
     out = out.at[:p].set(compressed)
     out = out.at[p].set(r)
     return out
