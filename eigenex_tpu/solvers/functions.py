@@ -98,7 +98,11 @@ def dense_expmv(A: jax.Array, v: jax.Array, x=1.0) -> jax.Array:
     x = jnp.asarray(x)
     phase = jnp.exp(x * w.astype(x.dtype if jnp.iscomplexobj(x) else w.dtype))
     dt = jnp.promote_types(U.dtype, phase.dtype)
-    return (U.astype(dt) * phase.astype(dt)[None, :]) @ (U.conj().T.astype(dt) @ v.astype(dt))
+    return jnp.matmul(
+        U.astype(dt) * phase.astype(dt)[None, :],
+        jnp.matmul(U.conj().T.astype(dt), v.astype(dt), precision="highest"),
+        precision="highest",
+    )
 
 
 @partial(jax.jit, static_argnames=("max_terms",))

@@ -139,7 +139,7 @@ def gmres_solve_jit(op, b, x0=None, *, restart: int = 32, cycles: int = 10, tol=
         e1 = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
         y, *_ = jnp.linalg.lstsq(state.H, e1)
         res_small = jnp.linalg.norm(state.H @ y - e1).astype(rdt)
-        x_new = x + state.V[:m].T @ y
+        x_new = x + jnp.matmul(state.V[:m].T, y, precision="highest")
         ok = jnp.all(jnp.isfinite(x_new)) & jnp.logical_not(state.failed)
         x_new = jnp.where(ok, x_new, x)
         rel_new = jnp.where(ok, res_small / safe_bnorm, jnp.asarray(jnp.inf, rdt))
