@@ -52,8 +52,21 @@ def project_coefficients(V, v, axis_name=None, mask=None):
     instead of k sequential dots (replaces lanczos.hpp:414-416).
     ``mask`` (k,) zeroes out coefficients of inactive basis rows — used
     by fixed-shape solver loops where only rows < k are valid.
+
+    Precision note (round-3 audit): these projections run at the
+    backend's DEFAULT matmul precision ON PURPOSE.  V is the CARRIED
+    Krylov basis inside ``lax.while_loop``/``fori_loop`` chunks, and a
+    per-call ``precision="highest"`` forces a layout on V that conflicts
+    with the in-loop ``dynamic_update_slice`` writes — XLA then copies
+    the full multi-GB basis every iteration (measured 3.3× slowdown on
+    the L=24 Heisenberg run; reverting restored 63 s).  The Krylov
+    accuracy design does not need it: CGS2 keeps the basis orthogonal to
+    working precision regardless, α/β come from exact vdot reductions,
+    and the hybrid f64 refinement supplies the 1e-10-grade eigenvalues
+    (the solver stages that DO need f32-exact matmuls — Rayleigh–Ritz,
+    rotations, Gram panels — are out-of-loop and keep "highest").
     """
-    c = _psum_if(jnp.matmul(V.conj(), v, precision="highest"), axis_name)
+    c = _psum_if(V.conj() @ v, axis_name)
     if mask is not None:
         c = jnp.where(mask, c, jnp.zeros_like(c))
     return c
@@ -62,7 +75,7 @@ def project_coefficients(V, v, axis_name=None, mask=None):
 def project_out(V, v, axis_name=None, mask=None):
     """One classical-GS pass: ``v - sum_j <V_j, v> V_j``."""
     c = project_coefficients(V, v, axis_name, mask)
-    return v - jnp.matmul(c, V, precision="highest")
+    return v - c @ V
 
 
 def cgs2(V, v, axis_name=None, mask=None):
@@ -75,9 +88,9 @@ def cgs2(V, v, axis_name=None, mask=None):
     Hessenberg column.
     """
     c1 = project_coefficients(V, v, axis_name, mask)
-    v = v - jnp.matmul(c1, V, precision="highest")
+    v = v - c1 @ V
     c2 = project_coefficients(V, v, axis_name, mask)
-    v = v - jnp.matmul(c2, V, precision="highest")
+    v = v - c2 @ V
     return v, c1 + c2
 
 

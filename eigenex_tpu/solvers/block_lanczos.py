@@ -108,8 +108,10 @@ def _block_chunk(
         # block CGS2: two projection passes against all filled rows
         C_total = jnp.zeros((m + b, b), dtype)
         for _ in range(2):
-            C = jnp.where(mask, jnp.matmul(state.V.conj(), W.T, precision="highest"), 0)  # (m+b, b)
-            W = W - jnp.matmul(C.T, state.V, precision="highest")
+            # DEFAULT precision on purpose: V is the carried in-loop
+            # basis (see ops/orthogonalize.py precision note)
+            C = jnp.where(mask, state.V.conj() @ W.T, 0)  # (m+b, b)
+            W = W - C.T @ state.V
             C_total = C_total + C
         # thin QR of the residual block: W.T = Q R
         Q, R = jnp.linalg.qr(W.T)  # (n, b), (b, b)
