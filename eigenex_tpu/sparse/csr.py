@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.operators import LinearOperator
+from ..utils.exceptions import EigenexError
 from .coo import COOMatrix
 
 __all__ = ["CSRMatrix", "csr_from_coo", "csr_from_dense"]
@@ -67,6 +68,31 @@ class CSRMatrix:
             (np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)),
             shape=self.shape,
         )
+
+    # -- spectral-range estimation ---------------------------------------
+    def gershgorin_discs(self):
+        """Per-row Gershgorin (center, radius) — CSR twin of the COO/BSR
+        implementations (makeGershgorinDiscs triplets_matrix.hpp:486-510),
+        so Chebyshev/KPM bounds come free on any container."""
+        if self.shape[0] != self.shape[1]:
+            raise EigenexError("Gershgorin discs require a square matrix")
+        diag_mask = self.row_ids == self.indices
+        centers = jax.ops.segment_sum(
+            jnp.where(diag_mask, self.data, 0), self.row_ids,
+            num_segments=self.shape[0], indices_are_sorted=True,
+        )
+        radii = jax.ops.segment_sum(
+            jnp.where(diag_mask, 0.0, jnp.abs(self.data)), self.row_ids,
+            num_segments=self.shape[0], indices_are_sorted=True,
+        )
+        return centers, radii
+
+    def estimate_eigenvalue_range(self):
+        """[min, max] real-eigenvalue bounds from the Gershgorin discs
+        (cf. estimateEigenvalueRange triplets_matrix.hpp:512-540)."""
+        centers, radii = self.gershgorin_discs()
+        re = jnp.real(centers)
+        return jnp.min(re - radii), jnp.max(re + radii)
 
     def as_linear_operator(self) -> LinearOperator:
         from .coo import _container_matmat, _container_matvec

@@ -221,3 +221,14 @@ class TestBlockGershgorin:
         # mapped window is over twice as wide => needs ~sqrt(2) higher
         # degree for the same amplification
         assert (hi - lo) < 0.5 * (2 * 1.05 * 2.0)
+
+    def test_csr_matches_dense_gershgorin(self):
+        from eigenex_tpu.sparse.csr import csr_from_dense
+
+        rng = np.random.default_rng(7)
+        A = rng.standard_normal((20, 20)) + np.diag(8 + np.arange(20.0))
+        A[np.abs(A) < 0.8] = 0.0
+        csr = csr_from_dense(A)
+        lo, hi = csr.estimate_eigenvalue_range()
+        dlo, dhi = self._dense_bounds(A)
+        assert abs(float(lo) - dlo) < 1e-12 and abs(float(hi) - dhi) < 1e-12
