@@ -33,6 +33,15 @@ import jax.numpy as jnp
 
 from ..utils.exceptions import OperatorError
 
+
+def _vjp_rmatvec(op, x):
+    # module-level so LinearOperator pytrees stay hashable/jit-cacheable
+    return op.rmatvec(x)
+
+
+def _fwd_matvec(op, x):
+    return op.matvec(x)
+
 __all__ = ["LinearOperator", "aslinearoperator", "identity_operator"]
 
 
@@ -85,10 +94,22 @@ class LinearOperator:
         return self.matvec(x)
 
     def rmatvec(self, x: jax.Array) -> jax.Array:
-        """Adjoint action A^H @ x."""
-        if self._rmatvec_fn is None:
-            raise OperatorError("operator has no adjoint (rmatvec) defined")
-        return self._rmatvec_fn(self._params, x)
+        """Adjoint action A^H @ x.
+
+        Without an explicit ``rmatvec_fn`` the adjoint is derived from
+        the (linear, jit-able) ``matvec`` via ``jax.vjp``: JAX's complex
+        pullback of a ℂ-linear map computes Aᵀ, so Aᴴx = conj(Aᵀ x̄).
+        One extra linearization trace, no user code — every matrix-free
+        operator gets a correct adjoint (the reference requires hand
+        materialization, triplets_matrix.hpp:386-421)."""
+        if self._rmatvec_fn is not None:
+            return self._rmatvec_fn(self._params, x)
+        zero = jnp.zeros((self.shape[1],), self.dtype)
+        _, pullback = jax.vjp(lambda v: self._matvec_fn(self._params, v), zero)
+        x = jnp.asarray(x, self.dtype)
+        if jnp.issubdtype(self.dtype, jnp.complexfloating):
+            return jnp.conj(pullback(jnp.conj(x))[0])
+        return pullback(x)[0]
 
     def matmat(self, X: jax.Array) -> jax.Array:
         """Apply to an (n, k) block of column vectors."""
@@ -103,9 +124,16 @@ class LinearOperator:
     @property
     def H(self) -> "LinearOperator":
         """The adjoint operator (cf. TripletsMatrix::adjoint
-        triplets_matrix.hpp:406)."""
+        triplets_matrix.hpp:406); uses the vjp-derived adjoint when no
+        explicit ``rmatvec_fn`` was given."""
         if self._rmatvec_fn is None:
-            raise OperatorError("operator has no adjoint (rmatvec) defined")
+            return LinearOperator(
+                _vjp_rmatvec,
+                self,
+                (self.shape[1], self.shape[0]),
+                self.dtype,
+                rmatvec_fn=_fwd_matvec,
+            )
         return LinearOperator(
             self._rmatvec_fn,
             self._params,

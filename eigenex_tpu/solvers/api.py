@@ -10,9 +10,11 @@ need" surface for people arriving from scipy/ARPACK:
   covers the problem, thick-restart otherwise; with ``mesh=`` the
   iteration runs row-partitioned over the device mesh
   (:class:`~eigenex_tpu.parallel.distributed.DistributedThickRestartLanczosEigenSolver`).
-- :func:`eigs` — general: dominant (largest-|λ|) eigenpairs via
-  Krylov–Schur; optional ``sigma`` (GMRES shift-invert for interior
-  targets), optional ``mesh=`` (distributed Krylov–Schur).
+- :func:`eigs` — general: ``which`` in {"LM", "SM", "LR", "SR", "LI",
+  "SI"} eigenpairs via Krylov–Schur (the restart compression keeps the
+  requested end of the spectrum); optional ``sigma`` (GMRES shift-invert
+  for interior targets, ``which`` then applying to θ = 1/(λ−σ) as in
+  scipy), optional ``mesh=`` (distributed Krylov–Schur).
 
 Both accept dense matrices, ``LinearOperator``s, or the sparse
 containers (:class:`~eigenex_tpu.sparse.coo.COOMatrix`,
@@ -197,6 +199,7 @@ def eigsh(
                 res.eigenvectors = res.eigenvectors[:n]
             lam_all = np.asarray(res.eigenvalues)
             res = _select_nearest_sigma(res, lam_all, sigma, k)
+            res = _check_true_residuals(res, op, "eigsh sigma+mesh (CG shift-invert)")
             return _maybe_refine_hermitian(res, coo, refine)
         from ..parallel.distributed import DistributedThickRestartLanczosEigenSolver
 
@@ -284,6 +287,7 @@ def eigsh(
         nonzero = np.abs(theta) > 0
         lam_all = np.where(nonzero, float(np.real(sigma)) + 1.0 / np.where(nonzero, theta, 1.0), np.inf)
         res = _select_nearest_sigma(res, lam_all, sigma, k)
+        res = _check_true_residuals(res, op, "eigsh sigma (GMRES shift-invert)")
         return _maybe_refine_hermitian(res, coo, refine)
 
     indices, n_track, lm_post = _which_indices(which, k)
@@ -386,6 +390,7 @@ def eigs(
     A,
     k: int = 6,
     *,
+    which: str = "LM",
     sigma=None,
     tol: float | None = None,
     max_subspace: int | None = None,
@@ -397,8 +402,12 @@ def eigs(
     block_shape: tuple[int, int] | None = None,
     refine: bool | int = False,
 ):
-    """k dominant (or σ-nearest) eigenpairs of a general operator.
+    """k eigenpairs of a general operator, selected by ``which``.
 
+    which: scipy ``eigs`` convention — "LM" (largest magnitude, the
+    default), "SM", "LR"/"SR" (real part), "LI"/"SI" (imaginary part).
+    With ``sigma`` the selection applies to the shift-inverted spectrum
+    θ = 1/(λ−σ), matching scipy: the default "LM" means nearest-σ pairs.
     mesh: a ``jax.sharding.Mesh`` routes the iteration to the
     distributed Krylov–Schur driver (sparse operands only).
     inner_tol: GMRES target for ``sigma`` shift-invert (default: 1e-2 of
@@ -410,6 +419,10 @@ def eigs(
     n = op.shape[0]
     if op.shape[0] != op.shape[1]:
         raise EigenexError("eigs requires a square operator")
+    if which not in ("LM", "SM", "LR", "SR", "LI", "SI"):
+        raise EigenexError(
+            f"which must be one of 'LM','SM','LR','SR','LI','SI', got {which!r}"
+        )
     m = min(max_subspace or max(4 * k + 24, 48), n)
 
     if mesh is not None:
@@ -435,7 +448,7 @@ def eigs(
                 si,
                 KrylovSchurOptions(
                     max_eigenvalues=k, tolerance=tol, max_subspace=m,
-                    max_restarts=max_restarts, seed=seed,
+                    max_restarts=max_restarts, seed=seed, which=which,
                 ),
             )
             if padded.shape[0] != n:
@@ -445,11 +458,12 @@ def eigs(
                     _padding_safe_v0(n, padded.shape[0], mop.dtype, seed)
                 )
             res = solver.compute()
-            lam = complex(sigma) + 1.0 / res.eigenvalues
-            order = np.argsort(np.abs(lam - complex(sigma)))
-            res.eigenvalues = lam[order]
+            # θ already which-ordered by the solver (scipy: which applies
+            # to the transformed spectrum); back-transform in place
+            res.eigenvalues = complex(sigma) + 1.0 / res.eigenvalues
             if res.eigenvectors is not None:
-                res.eigenvectors = res.eigenvectors[:n, order]
+                res.eigenvectors = res.eigenvectors[:n]
+            res = _check_true_residuals(res, op, "eigs sigma+mesh (GMRES shift-invert)")
             return _maybe_refine_general(res, coo, refine)
         from ..parallel.distributed import DistributedKrylovSchurArnoldiSolver
 
@@ -459,7 +473,7 @@ def eigs(
             mesh,
             KrylovSchurOptions(
                 max_eigenvalues=k, tolerance=tol, max_subspace=m,
-                max_restarts=max_restarts, seed=seed,
+                max_restarts=max_restarts, seed=seed, which=which,
             ),
             axis_name=mesh.axis_names[0],
             matvec_mode=matvec_mode,
@@ -479,26 +493,25 @@ def eigs(
             si,
             KrylovSchurOptions(
                 max_eigenvalues=k, tolerance=tol, max_subspace=m,
-                max_restarts=max_restarts, seed=seed,
+                max_restarts=max_restarts, seed=seed, which=which,
             ),
         ).compute()
-        lam = complex(sigma) + 1.0 / res.eigenvalues
-        order = np.argsort(np.abs(lam - complex(sigma)))
-        res.eigenvalues = lam[order]
-        if res.eigenvectors is not None:
-            res.eigenvectors = res.eigenvectors[:, order]
+        # θ already which-ordered by the solver (scipy: which applies to
+        # the transformed spectrum θ = 1/(λ−σ)); back-transform in place
+        res.eigenvalues = complex(sigma) + 1.0 / res.eigenvalues
+        res = _check_true_residuals(res, op, "eigs sigma (GMRES shift-invert)")
         return _maybe_refine_general(res, coo, refine)
     res = KrylovSchurArnoldiSolver(
         op,
         KrylovSchurOptions(
             max_eigenvalues=k, tolerance=tol, max_subspace=m,
-            max_restarts=max_restarts, seed=seed,
+            max_restarts=max_restarts, seed=seed, which=which,
         ),
     ).compute()
-    return _maybe_refine_general(res, coo, refine)
+    return _maybe_refine_general(res, coo, refine, which)
 
 
-def _maybe_refine_general(res, coo, refine):
+def _maybe_refine_general(res, coo, refine, which: str | None = None):
     if not refine:
         return res
     if coo is None:
@@ -506,14 +519,65 @@ def _maybe_refine_general(res, coo, refine):
     if res.eigenvectors is None:
         raise EigenexError("refine=True requires computed eigenvectors")
     from .refine import general_inverse_iteration_refine
+    from .krylov_schur import _which_key
 
     iters = int(refine) if not isinstance(refine, bool) else 60
     lam, X, _ = general_inverse_iteration_refine(
         coo, np.asarray(res.eigenvectors), np.asarray(res.eigenvalues), iters=iters
     )
-    order = np.argsort(-np.abs(lam), kind="stable")
+    order = np.argsort(_which_key(lam, which or "LM"), kind="stable")
     res.eigenvalues = lam[order]
     res.eigenvectors = X[:, order]
+    return res
+
+
+def _check_true_residuals(res, op, label: str):
+    """Post-hoc honesty check for the shift-invert routes: measure the
+    true eigenpair residuals ‖A v − λ v‖ on the ORIGINAL operator.
+
+    A silently failed inner solve (CG on an indefinite shift, stagnated
+    restarted GMRES) makes the outer iteration converge cleanly to
+    eigenpairs of the wrong operator; the residual on A is the only
+    signal.  The solvers now carry CGLS fallbacks that should prevent
+    this, but the check is cheap (k matvecs) and turns any remaining
+    failure into ``converged=False`` + an ERROR trace instead of wrong
+    numbers."""
+    import jax.numpy as jnp
+
+    from ..utils.tolerance import default_tolerance
+    from ..utils.trace import Severity
+
+    if res.eigenvectors is None:
+        return res
+    lam = np.asarray(res.eigenvalues)
+    if lam.size == 0 or not np.all(np.isfinite(lam)):
+        return res
+    V = jnp.asarray(res.eigenvectors)
+    if jnp.iscomplexobj(V) and not jnp.issubdtype(jnp.dtype(op.dtype), jnp.complexfloating):
+        AV = (
+            np.asarray(op.matmat(jnp.real(V).astype(op.dtype))).astype(np.complex128)
+            + 1j * np.asarray(op.matmat(jnp.imag(V).astype(op.dtype))).astype(np.complex128)
+        )
+    else:
+        AV = np.asarray(op.matmat(V.astype(op.dtype)))
+    Vn = np.asarray(V)
+    resid = np.linalg.norm(AV - Vn * lam[None, :], axis=0) / np.maximum(
+        np.linalg.norm(Vn, axis=0), 1e-300
+    )
+    scale = max(float(np.max(np.abs(lam))), 1.0)
+    rel = float(np.max(resid)) / scale
+    threshold = max(1e-6, 100.0 * default_tolerance(op.dtype))
+    res.trace.log(
+        Severity.INFO, f"{label}: max true eigenpair residual {rel:.3e} (relative)"
+    )
+    if not np.isfinite(rel) or rel > threshold:
+        res.converged = False
+        res.termination = "inner_solve_failure"
+        res.trace.log(
+            Severity.ERROR,
+            f"{label}: true residual {rel:.3e} exceeds {threshold:.1e} — the "
+            "shift-invert inner solve failed; returned eigenpairs are unreliable",
+        )
     return res
 
 

@@ -176,13 +176,33 @@ def shift_invert_operator_general(
     tol = float(tol)
 
     def si_matvec(p, x):
+        from .cg import _cgls_loop
+
         inner_op, sig = p
         shifted = LinearOperator(
             lambda pp, v: pp[0].matvec(v) - pp[1] * v,
             (inner_op, sig),
             inner_op.shape,
             inner_op.dtype,
+            # explicit adjoint so CGLS needs no vjp retrace per call
+            rmatvec_fn=lambda pp, v: pp[0].rmatvec(v) - jnp.conj(pp[1]) * v,
         )
-        return gmres_solve_jit(shifted, x, restart=restart, cycles=cycles, tol=tol)
+        y = gmres_solve_jit(shifted, x, restart=restart, cycles=cycles, tol=tol)
+        # Restarted GMRES(m) can STAGNATE on nonnormal operators (a known
+        # failure mode, not an implementation defect) — and a silently
+        # wrong inner solve poisons every outer Ritz pair while the outer
+        # iteration happily "converges".  Verify the true residual and
+        # fall back to CGLS (normal equations — SPD for any nonsingular
+        # shift, monotone residual), warm-started from the GMRES iterate.
+        rel = jnp.linalg.norm(x - shifted.matvec(y)) / jnp.linalg.norm(x)
+        y_safe = jnp.where(jnp.all(jnp.isfinite(y)), y, jnp.zeros_like(y))
+        return jax.lax.cond(
+            jnp.isfinite(rel) & (rel <= tol),
+            lambda: y,
+            lambda: _cgls_loop(
+                shifted, x, y_safe, jnp.asarray(tol),
+                max_iters=restart * cycles, axis_name=None,
+            )[0],
+        )
 
     return LinearOperator(si_matvec, (op, sigma), op.shape, op.dtype)

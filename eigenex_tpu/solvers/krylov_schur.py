@@ -38,27 +38,55 @@ __all__ = ["KrylovSchurArnoldiSolver", "KrylovSchurOptions"]
 @dataclasses.dataclass(frozen=True)
 class KrylovSchurOptions(LanczosOptions):
     """Arnoldi options plus restart knobs; ``eigenvalue_indices`` refer to
-    the |λ|-descending ordering (dominant pairs by default)."""
+    the ``which``-ordered spectrum (|λ|-descending dominant pairs by
+    default).  ``which`` follows the scipy ``eigs`` convention:
+    "LM"/"SM" (largest/smallest magnitude), "LR"/"SR" (largest/smallest
+    real part), "LI"/"SI" (largest/smallest imaginary part) — the restart
+    compression keeps, and convergence tracks, that end of the spectrum."""
 
     num_kept: int | None = None
     max_restarts: int = 100
+    which: str = "LM"
 
 
-def _ordered_schur(H: np.ndarray, n_wanted: int):
+def _which_key(evals: np.ndarray, which: str) -> np.ndarray:
+    """Sort key (ascending = most wanted first) for scipy-style ``which``."""
+    if which == "LM":
+        return -np.abs(evals)
+    if which == "SM":
+        return np.abs(evals)
+    if which == "LR":
+        return -np.real(evals)
+    if which == "SR":
+        return np.real(evals)
+    if which == "LI":
+        return -np.imag(evals)
+    if which == "SI":
+        return np.imag(evals)
+    raise ArnoldiError(
+        f"which must be one of 'LM','SM','LR','SR','LI','SI', got {which!r}"
+    )
+
+
+def _ordered_schur(H: np.ndarray, n_wanted: int, which: str = "LM"):
     """Complex Schur form of H with (at least) the ``n_wanted``
-    largest-|λ| values ordered into the leading block.
-    Returns (T, Q, evals_sorted_desc)."""
+    most-wanted values (per ``which``) ordered into the leading block.
+    Returns (T, Q, evals_sorted_wanted_first)."""
     from scipy.linalg import schur
 
     evals = np.linalg.eigvals(H.astype(np.complex128))
-    desc = evals[np.argsort(-np.abs(evals), kind="stable")]
-    cutoff = np.abs(desc[min(n_wanted, len(desc)) - 1]) if len(desc) else 0.0
+    keys = _which_key(evals, which)
+    order = np.argsort(keys, kind="stable")
+    wanted_first = evals[order]
+    scale = float(np.max(np.abs(evals))) if len(evals) else 1.0
+    cutoff = keys[order[min(n_wanted, len(evals)) - 1]] if len(evals) else 0.0
+    eps = 1e-12 * max(scale, 1.0)
     T, Q, sdim = schur(
         H.astype(np.complex128),
         output="complex",
-        sort=lambda x: bool(abs(x) >= cutoff * (1 - 1e-12)),
+        sort=lambda x: bool(_which_key(np.asarray([x]), which)[0] <= cutoff + eps),
     )
-    return T, Q, desc
+    return T, Q, wanted_first
 
 
 class KrylovSchurArnoldiSolver:
@@ -135,7 +163,7 @@ class KrylovSchurArnoldiSolver:
                 break
             H = np.asarray(state.H[:k, :k]).astype(np.complex128)
             beta = float(self.state_residue(state))
-            T, Q, evals_desc = _ordered_schur(H, min(p, k - 1))
+            T, Q, evals_desc = _ordered_schur(H, min(p, k - 1), o.which)
             # residual bound per Schur vector: |β · Q[k-1, i]|
             resid = np.abs(beta * Q[k - 1, :])
             nev_eff = min(nev, k)
@@ -214,7 +242,7 @@ class KrylovSchurArnoldiSolver:
         k = int(state.k)
         H = np.asarray(state.H[:k, :k]).astype(np.complex128)
         evals, Y = np.linalg.eig(H)
-        order = np.argsort(-np.abs(evals), kind="stable")
+        order = np.argsort(_which_key(evals, o.which), kind="stable")
         sel = order[: min(o.max_eigenvalues, k)]
         evals_out = evals[sel] - complex(o.eigenvalue_shift)
         vecs = None

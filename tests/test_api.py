@@ -372,3 +372,87 @@ def test_svds_mesh_rectangular():
     s2 = svds(coo_from_dense(A), k=3, tol=1e-12, mesh=mesh, block_shape=(4, 4),
               return_singular_vectors=False)
     np.testing.assert_allclose(s2, s_ref, atol=1e-9)
+
+
+# ---- scipy `which` parity for the general front end ----
+
+def _which_key_np(lam, which):
+    return {
+        "LM": -np.abs(lam), "SM": np.abs(lam),
+        "LR": -lam.real, "SR": lam.real,
+        "LI": -lam.imag, "SI": lam.imag,
+    }[which]
+
+
+@pytest.mark.parametrize("which", ["LM", "LR", "SR", "LI", "SI"])
+def test_eigs_which_modes(key, which):
+    # complex operator: generic spectrum, no conjugate-pair ties at the
+    # selection boundary (scipy eigs semantics)
+    n = 90
+    A = random_matrix(key, n, n, jnp.complex128)
+    lam_all = np.linalg.eigvals(np.asarray(A))
+    want = lam_all[np.argsort(_which_key_np(lam_all, which), kind="stable")][:3]
+    res = eigs(A, k=3, which=which, tol=1e-10, max_subspace=45, max_restarts=400)
+    got = np.asarray(res.eigenvalues)
+    np.testing.assert_allclose(
+        np.sort_complex(got), np.sort_complex(want), atol=1e-6
+    )
+    # the result order leads with the most-wanted pair
+    keys = _which_key_np(got, which)
+    assert keys[0] <= keys[-1] + 1e-9
+
+
+def test_eigs_which_sm_full_subspace(key):
+    # SM without shift-invert needs a generous subspace (same caveat as
+    # scipy/ARPACK); exact at m=n is the functional check — sigma=0 is
+    # the recommended fast route for interior/smallest magnitude
+    n = 40
+    A = random_matrix(key, n, n, jnp.complex128)
+    lam_all = np.linalg.eigvals(np.asarray(A))
+    want = lam_all[np.argsort(np.abs(lam_all))][:2]
+    res = eigs(A, k=2, which="SM", tol=1e-10, max_subspace=n)
+    np.testing.assert_allclose(
+        np.sort_complex(np.asarray(res.eigenvalues)),
+        np.sort_complex(want), atol=1e-7,
+    )
+
+
+def test_eigs_which_validation(key):
+    with pytest.raises(EigenexError):
+        eigs(random_matrix(key, 4, 4, jnp.float64), k=1, which="XY")
+
+
+def test_eigs_sigma_complex_nonnormal(key):
+    """Regression: restarted GMRES(48) stagnates on this complex Gaussian
+    shift — the CGLS fallback inside shift_invert_operator_general must
+    still produce the true nearest-sigma pairs (previously: silently
+    converged to wrong eigenvalues)."""
+    rng = np.random.default_rng(0)
+    n = 80
+    A = jnp.asarray(rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    lam_all = np.linalg.eigvals(np.asarray(A))
+    sigma = 0.5 + 0.2j
+    res = eigs(A, k=2, sigma=sigma, tol=1e-10, max_subspace=40)
+    assert res.converged and res.termination != "inner_solve_failure"
+    d = np.sort(np.abs(np.asarray(res.eigenvalues) - sigma))
+    want = np.sort(np.abs(lam_all - sigma))[:2]
+    np.testing.assert_allclose(d, want, atol=1e-7)
+
+
+def test_sigma_residual_honesty_flags_garbage(key):
+    """The post-hoc true-residual check turns silently-wrong eigenpairs
+    into converged=False + an ERROR trace entry."""
+    from eigenex_tpu.solvers.api import _check_true_residuals
+    from eigenex_tpu.core.operators import aslinearoperator
+
+    n = 40
+    A = random_hermitian(key, n, jnp.float64)
+    res = eigsh(A, k=2, which="SA", tol=1e-12)
+    assert res.converged
+    # corrupt the eigenvectors: residuals on A are now O(1)
+    rng = np.random.default_rng(1)
+    res.eigenvectors = jnp.asarray(rng.standard_normal((n, 2)))
+    res = _check_true_residuals(res, aslinearoperator(A), "unit test")
+    assert not res.converged
+    assert res.termination == "inner_solve_failure"
+    assert res.trace.has_error()

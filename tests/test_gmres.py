@@ -75,3 +75,75 @@ def test_shift_invert_arnoldi_interior(key):
     theta = res.eigenvalues[0]
     lam = sigma + 1.0 / theta
     np.testing.assert_allclose(np.real(lam), target, atol=1e-6)
+
+
+def test_cgls_least_squares():
+    """CGLS solves rectangular least squares (the normal-equations CG)."""
+    import numpy as np
+    from eigenex_tpu.solvers.cg import cgls_solve
+    from eigenex_tpu.core.operators import aslinearoperator
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((30, 12)))
+    b = jnp.asarray(rng.standard_normal(30))
+    x, rn, it = cgls_solve(aslinearoperator(A), b, tol=1e-13, max_iters=200)
+    x_ref = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-9)
+
+
+def test_cgls_indefinite_hermitian():
+    """CGLS converges where plain CG (indefinite system) fails."""
+    import numpy as np
+    from eigenex_tpu.solvers.cg import cgls_solve
+    from eigenex_tpu.core.operators import aslinearoperator
+
+    rng = np.random.default_rng(1)
+    n = 40
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = np.linspace(-3.0, 3.0, n)
+    lam[np.abs(lam) < 0.2] += 0.4  # keep nonsingular
+    A = jnp.asarray(Q @ np.diag(lam) @ Q.T)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, rn, it = cgls_solve(aslinearoperator(A), b, tol=1e-12, max_iters=2000)
+    resid = np.linalg.norm(np.asarray(A) @ np.asarray(x) - np.asarray(b))
+    assert resid < 1e-10, resid
+
+
+def test_shift_invert_general_cgls_fallback():
+    """GMRES(m) stagnation on a nonnormal complex shift must be rescued
+    by the CGLS fallback inside shift_invert_operator_general."""
+    import numpy as np
+    from eigenex_tpu.solvers.gmres import shift_invert_operator_general
+    from eigenex_tpu.core.operators import aslinearoperator
+
+    rng = np.random.default_rng(0)
+    n = 80
+    A = jnp.asarray(rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    sigma = 0.5 + 0.2j
+    si = shift_invert_operator_general(aslinearoperator(A), sigma, tol=1e-12)
+    x = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    y = si.matvec(x)
+    r = np.asarray(A) @ np.asarray(y) - sigma * np.asarray(y) - np.asarray(x)
+    rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(x))
+    assert rel < 1e-10, f"SI solve rel residual {rel:.2e}"
+
+
+def test_shift_invert_hermitian_indefinite_fallback():
+    """CG on an interior (indefinite) Hermitian shift must be rescued by
+    the CGLS fallback inside shift_invert_operator (cg.py)."""
+    import numpy as np
+    from eigenex_tpu.solvers.cg import shift_invert_operator
+    from eigenex_tpu.core.operators import aslinearoperator
+
+    rng = np.random.default_rng(2)
+    n = 50
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = np.linspace(0.0, 5.0, n)
+    A = jnp.asarray(Q @ np.diag(lam) @ Q.T)
+    sigma = 2.51  # interior: (A - sigma I) indefinite
+    si = shift_invert_operator(aslinearoperator(A), sigma, tol=1e-12, max_iters=4000)
+    x = jnp.asarray(rng.standard_normal(n))
+    y = si.matvec(x)
+    r = np.asarray(A) @ np.asarray(y) - sigma * np.asarray(y) - np.asarray(x)
+    rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(x))
+    assert rel < 1e-9, f"SI solve rel residual {rel:.2e}"

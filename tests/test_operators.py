@@ -92,3 +92,36 @@ def test_complex_adjoint(key):
 def test_callable_wrapping():
     op = aslinearoperator(lambda x: 2 * x, shape=(4, 4), dtype=jnp.float64)
     np.testing.assert_allclose(op(jnp.ones(4)), 2 * jnp.ones(4))
+
+
+def test_rmatvec_vjp_fallback_real():
+    """Operators without an explicit rmatvec derive Aᵀ via jax.vjp."""
+    import numpy as np
+    from eigenex_tpu.core.operators import LinearOperator
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((5, 7)))
+    op = LinearOperator(lambda p, v: p @ v, A, (5, 7), jnp.float64)
+    x = jnp.asarray(rng.standard_normal(5))
+    np.testing.assert_allclose(np.asarray(op.rmatvec(x)), np.asarray(A.T @ x), atol=1e-14)
+    # .H built from the fallback round-trips
+    np.testing.assert_allclose(np.asarray(op.H.matvec(x)), np.asarray(A.T @ x), atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(op.H.rmatvec(jnp.asarray(rng.standard_normal(7)))).shape, (5,)
+    )
+
+
+def test_rmatvec_vjp_fallback_complex():
+    import numpy as np
+    from eigenex_tpu.core.operators import LinearOperator
+
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((6, 6)) + 1j * rng.standard_normal((6, 6)))
+    op = LinearOperator(lambda p, v: p @ v, A, (6, 6), jnp.complex128)
+    x = jnp.asarray(rng.standard_normal(6) + 1j * rng.standard_normal(6))
+    np.testing.assert_allclose(
+        np.asarray(op.rmatvec(x)), np.asarray(A.conj().T @ x), atol=1e-14
+    )
+    # and under jit
+    y = jax.jit(lambda o, v: o.rmatvec(v))(op, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(A.conj().T @ x), atol=1e-14)
