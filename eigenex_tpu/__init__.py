@@ -77,7 +77,7 @@ from .sparse.realify import (
     real_from_complex,
     realify_coo,
 )
-from .utils.checkpoint import load_state, save_state
+from .utils.checkpoint import load_state, save_state, shard_state
 from .solvers.functions import (
     LanczosExponentialSolver,
     LanczosFunctionSolver,
@@ -99,6 +99,8 @@ from .sparse import (
     coo_identity,
     csr_from_coo,
     csr_from_dense,
+    load_matrix_market,
+    save_matrix_market,
     sym_bsr_from_bsr,
 )
 from .solvers.lanczos import (

@@ -17,7 +17,10 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["NATIVE", "native_available", "coo_shrink", "bsr_pack", "heisenberg_sector"]
+__all__ = [
+    "NATIVE", "native_available", "coo_shrink", "bsr_pack",
+    "heisenberg_sector", "mm_info", "mm_read",
+]
 
 _SRC = Path(__file__).parent / "src" / "builders.cpp"
 _LIB = Path(__file__).parent / "libeigenex_native.so"
@@ -59,6 +62,10 @@ def _load():
     lib.bsr_pack.argtypes = [p_i64, p_i64, p_f64, i64, i64, i64, i64, i64, i64, p_f64, p_i32]
     lib.heisenberg_sector.restype = i64
     lib.heisenberg_sector.argtypes = [i64, i64, ctypes.c_double, ctypes.c_double, i64, p_i64, p_i64, p_f64]
+    lib.mm_info.restype = i64
+    lib.mm_info.argtypes = [ctypes.c_char_p, p_i64]
+    lib.mm_read.restype = i64
+    lib.mm_read.argtypes = [ctypes.c_char_p, p_i64, p_i64, p_f64, p_f64, i64]
     return lib
 
 
@@ -112,3 +119,47 @@ def heisenberg_sector(L: int, n_up: int, J: float, Jz: float, pbc: bool):
     if nnz < 0:
         raise RuntimeError(f"heisenberg_sector failed with code {nnz}")
     return rows[:nnz], cols[:nnz], vals[:nnz], dim
+
+
+_MM_ERRORS = {
+    -1: "cannot open/read file",
+    -2: "not a coordinate MatrixMarket file",
+    -3: "unknown field (expect real/integer/complex/pattern)",
+    -4: "unknown symmetry (expect general/symmetric/skew-symmetric/hermitian)",
+    -5: "malformed size line",
+    -6: "malformed or truncated triplet data",
+    -7: "capacity smaller than declared nnz",
+    -8: "1-based index out of declared range",
+}
+
+MM_FIELDS = ("real", "integer", "complex", "pattern")
+MM_SYMMETRIES = ("general", "symmetric", "skew-symmetric", "hermitian")
+
+
+def mm_info(path: str):
+    """(rows, cols, nnz, field, symmetry) of a coordinate .mtx file (native)."""
+    out = np.zeros(5, np.int64)
+    rc = NATIVE.mm_info(str(path).encode(), out)
+    if rc != 0:
+        raise RuntimeError(f"mm_info({path!r}): {_MM_ERRORS.get(rc, rc)}")
+    return (
+        int(out[0]), int(out[1]), int(out[2]),
+        MM_FIELDS[int(out[3])], MM_SYMMETRIES[int(out[4])],
+    )
+
+
+def mm_read(path: str):
+    """Raw triplets of a coordinate .mtx file (native, 0-based).
+
+    Returns (rows, cols, vals, shape, symmetry) — vals complex128 only for
+    complex files; symmetry is NOT expanded here (sparse.io does that)."""
+    nr, nc, nnz, field, symmetry = mm_info(path)
+    rows = np.zeros(nnz, np.int64)
+    cols = np.zeros(nnz, np.int64)
+    vre = np.zeros(nnz, np.float64)
+    vim = np.zeros(nnz, np.float64)
+    rc = NATIVE.mm_read(str(path).encode(), rows, cols, vre, vim, nnz)
+    if rc < 0:
+        raise RuntimeError(f"mm_read({path!r}): {_MM_ERRORS.get(rc, rc)}")
+    vals = vre + 1j * vim if field == "complex" else vre
+    return rows, cols, vals, (nr, nc), symmetry

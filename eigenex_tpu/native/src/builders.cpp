@@ -180,3 +180,153 @@ int64_t heisenberg_sector(int64_t L, int64_t n_up, double J, double Jz,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Matrix Market (.mtx) coordinate reader — the data-loader analog the
+// reference lacks entirely (its operators are only ever built in code).
+// Plain C ABI for ctypes; the Python side handles symmetry expansion and
+// falls back to scipy.io for exotic variants (dense 'array' format).
+// ---------------------------------------------------------------------------
+
+#include <cctype>
+#include <cstdio>
+
+namespace {
+
+struct MMHeader {
+  int64_t rows = 0, cols = 0, nnz = 0;
+  int64_t field = 0;     // 0 real, 1 integer, 2 complex, 3 pattern
+  int64_t symmetry = 0;  // 0 general, 1 symmetric, 2 skew, 3 hermitian
+};
+
+// Reads the banner + size line.  Returns bytes consumed (start of data)
+// on success, negative error: -1 io, -2 not coordinate MatrixMarket,
+// -3 bad field, -4 bad symmetry, -5 bad size line.
+int64_t parse_header(const char* buf, int64_t len, MMHeader* h) {
+  int64_t pos = 0;
+  auto next_line = [&](char* line, int64_t cap) -> bool {
+    int64_t i = 0;
+    while (pos < len && buf[pos] != '\n') {
+      if (i + 1 < cap) line[i++] = buf[pos];
+      ++pos;
+    }
+    if (pos < len) ++pos;  // swallow '\n'
+    line[i] = 0;
+    return i > 0 || pos < len;
+  };
+  char line[512];
+  if (!next_line(line, sizeof line)) return -1;
+  char obj[64] = {0}, fmt[64] = {0}, fld[64] = {0}, sym[64] = {0};
+  if (std::sscanf(line, "%%%%MatrixMarket %63s %63s %63s %63s", obj, fmt, fld,
+                  sym) != 4)
+    return -2;
+  for (char* s : {obj, fmt, fld, sym})
+    for (char* p = s; *p; ++p) *p = (char)std::tolower(*p);
+  if (std::strcmp(obj, "matrix") != 0 || std::strcmp(fmt, "coordinate") != 0)
+    return -2;
+  if (std::strcmp(fld, "real") == 0) h->field = 0;
+  else if (std::strcmp(fld, "integer") == 0) h->field = 1;
+  else if (std::strcmp(fld, "complex") == 0) h->field = 2;
+  else if (std::strcmp(fld, "pattern") == 0) h->field = 3;
+  else return -3;
+  if (std::strcmp(sym, "general") == 0) h->symmetry = 0;
+  else if (std::strcmp(sym, "symmetric") == 0) h->symmetry = 1;
+  else if (std::strcmp(sym, "skew-symmetric") == 0) h->symmetry = 2;
+  else if (std::strcmp(sym, "hermitian") == 0) h->symmetry = 3;
+  else return -4;
+  // skip comments / blank lines, then the size line
+  while (true) {
+    if (!next_line(line, sizeof line)) return -5;
+    const char* p = line;
+    while (*p && std::isspace((unsigned char)*p)) ++p;
+    if (*p == 0 || *p == '%') continue;
+    long long r, c, z;
+    if (std::sscanf(p, "%lld %lld %lld", &r, &c, &z) != 3) return -5;
+    h->rows = r; h->cols = c; h->nnz = z;
+    return pos;
+  }
+}
+
+// Slurp a file.  Caller frees.  Returns nullptr on failure.
+char* slurp(const char* path, int64_t* out_len) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  const long long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  char* buf = (char*)std::malloc((size_t)sz + 1);
+  if (!buf) { std::fclose(f); return nullptr; }
+  const size_t got = std::fread(buf, 1, (size_t)sz, f);
+  std::fclose(f);
+  buf[got] = 0;
+  *out_len = (int64_t)got;
+  return buf;
+}
+
+}  // namespace
+
+extern "C" {
+
+// out[5] = {rows, cols, nnz, field, symmetry}.  Returns 0 on success or
+// the negative parse_header error.
+int64_t mm_info(const char* path, int64_t* out) {
+  int64_t len = 0;
+  char* buf = slurp(path, &len);
+  if (!buf) return -1;
+  MMHeader h;
+  const int64_t pos = parse_header(buf, len, &h);
+  std::free(buf);
+  if (pos < 0) return pos;
+  out[0] = h.rows; out[1] = h.cols; out[2] = h.nnz;
+  out[3] = h.field; out[4] = h.symmetry;
+  return 0;
+}
+
+// Read the declared triplets (1-based in file → 0-based out).  Pattern
+// entries get value 1.0; vals_im is written only for complex files.
+// Returns the number of triplets read, or negative: header errors as in
+// mm_info, -6 malformed/short data, -7 capacity too small, -8 index out
+// of range.
+int64_t mm_read(const char* path, int64_t* rows, int64_t* cols,
+                double* vals_re, double* vals_im, int64_t cap) {
+  int64_t len = 0;
+  char* buf = slurp(path, &len);
+  if (!buf) return -1;
+  MMHeader h;
+  const int64_t pos = parse_header(buf, len, &h);
+  if (pos < 0) { std::free(buf); return pos; }
+  if (h.nnz > cap) { std::free(buf); return -7; }
+  const char* p = buf + pos;
+  const char* end = buf + len;
+  int64_t n = 0;
+  for (; n < h.nnz; ++n) {
+    char* q;
+    const long long r = std::strtoll(p, &q, 10);
+    if (q == p) { std::free(buf); return -6; }
+    p = q;
+    const long long c = std::strtoll(p, &q, 10);
+    if (q == p) { std::free(buf); return -6; }
+    p = q;
+    double re = 1.0, im = 0.0;
+    if (h.field != 3) {
+      re = std::strtod(p, &q);
+      if (q == p) { std::free(buf); return -6; }
+      p = q;
+      if (h.field == 2) {
+        im = std::strtod(p, &q);
+        if (q == p) { std::free(buf); return -6; }
+        p = q;
+      }
+    }
+    if (r < 1 || r > h.rows || c < 1 || c > h.cols) { std::free(buf); return -8; }
+    rows[n] = r - 1;
+    cols[n] = c - 1;
+    vals_re[n] = re;
+    vals_im[n] = im;
+    if (p >= end) { ++n; break; }
+  }
+  std::free(buf);
+  return n == h.nnz ? n : -6;
+}
+
+}  // extern "C"
