@@ -46,7 +46,7 @@ from .solvers.gmres import gmres_solve, gmres_solve_jit, shift_invert_operator_g
 from .solvers.api import eigs, eigsh, svds
 from .solvers.krylov_schur import KrylovSchurArnoldiSolver, KrylovSchurOptions
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
-from .solvers.cg import cg_solve, shift_invert_operator
+from .solvers.cg import cg_solve, cgls_solve, minres_solve, shift_invert_operator
 from .solvers.block_lanczos import BlockLanczosEigenSolver, BlockLanczosOptions
 from .solvers.chebyshev import (
     ChebyshevFilterOptions,

@@ -288,7 +288,7 @@ def _get_dist_chunk(
             # shift-invert: each Lanczos matvec is a mesh-parallel CG solve
             # of (A − σI) y = x, inner products psum-completed — the
             # BASELINE config-5 operator
-            from ..solvers.cg import _cg_loop
+            from ..solvers.cg import _cg_loop, _minres_loop
 
             base = op_local
 
@@ -298,6 +298,9 @@ def _get_dist_chunk(
                     (p[0], p[1]),
                     p[0].shape,
                     p[0].dtype,
+                    # Hermitian operator, real shift: self-adjoint — gives
+                    # the CGLS fallback its A^H without a second codepath
+                    rmatvec_fn=lambda pp, v: pp[0].matvec(v) - pp[1] * v,
                 )
                 y, _, _ = _cg_loop(
                     shifted,
@@ -307,7 +310,33 @@ def _get_dist_chunk(
                     max_iters=si_cg_iters,
                     axis_name=axis_name,
                 )
-                return y
+                # CG is only guaranteed for a DEFINITE shift; an interior σ
+                # makes (A − σI) indefinite and CG can stagnate/diverge
+                # silently, poisoning every outer Ritz value.  Check the
+                # true residual (psum-completed, so the predicate is
+                # replicated across shards) and rescue with mesh-parallel
+                # MINRES — the Hermitian-indefinite minimum-residual
+                # solver, axis-aware like the CG it replaces.
+                r = x - shifted.matvec(y)
+                rel2 = jnp.real(lax.psum(jnp.vdot(r, r), axis_name)) / jnp.maximum(
+                    jnp.real(lax.psum(jnp.vdot(x, x), axis_name)), 1e-300
+                )
+                tol2 = (p[2] * p[2]).astype(rel2.dtype)
+                # every predicate below must be REPLICATED across shards
+                # (shard-local isfinite would branch-diverge the cond and
+                # deadlock its collectives) — psum makes them so
+                n_bad = lax.psum(
+                    (~jnp.all(jnp.isfinite(y))).astype(jnp.float32), axis_name
+                )
+                y_safe = jnp.where(n_bad == 0, y, jnp.zeros_like(y))
+                return jax.lax.cond(
+                    jnp.isfinite(rel2) & (rel2 <= tol2),
+                    lambda: y,
+                    lambda: _minres_loop(
+                        shifted, x, y_safe, p[2],
+                        max_iters=si_cg_iters, axis_name=axis_name,
+                    )[0],
+                )
 
             op_local = LinearOperator(
                 si_matvec, (base, sigma.astype(V.dtype), cg_tol), base.shape, base.dtype

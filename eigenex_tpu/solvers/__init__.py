@@ -16,7 +16,7 @@ from .functions import (
     taylor_expmv,
     taylor_expmv_auto,
 )
-from .cg import cg_solve, shift_invert_operator
+from .cg import cg_solve, cgls_solve, minres_solve, shift_invert_operator
 from .chebyshev import (
     ChebyshevFilterOptions,
     ChebyshevFilterSolver,

@@ -169,9 +169,9 @@ def eigsh(
             # Distributed shift-invert: every outer Lanczos matvec is a
             # mesh-parallel CG solve of (A − σI) y = x with psum-completed
             # inner products — the BASELINE config-5 pipeline in one call.
-            # CG needs a definite shift, so σ should sit outside / at the
-            # edge of the spectrum (ground-state targeting); for interior
-            # σ use the single-device GMRES route (drop mesh=).
+            # Interior σ makes the shift indefinite; the inner solve then
+            # falls back to mesh-parallel CGLS automatically (checked by
+            # true residual), so any σ is fair game.
             from ..parallel.distributed import DistributedShiftInvertLanczosEigenSolver
 
             if inner_tol is None:
@@ -259,16 +259,19 @@ def eigsh(
         # Shift-invert: pairs nearest σ have the LARGEST |θ| of
         # (A − σI)⁻¹ — θ can be large positive (λ just above σ) or large
         # negative (λ just below σ), so track BOTH spectral ends and pick
-        # by |θ|.  The inner solve is GMRES, which tolerates the
-        # indefinite (A − σI) that any interior σ produces (CG does not);
-        # its residual-controlled cycles stop at ``inner_tol``.
+        # by |θ|.  The inner solve is MINRES: for a HERMITIAN shift it
+        # strictly dominates restarted GMRES (short recurrence, no
+        # restart stagnation, no basis storage) and handles the
+        # indefinite (A − σI) that any interior σ produces (CG does not).
         if inner_tol is None:
             from ..utils.tolerance import default_tolerance
 
             outer = tol if tol is not None else default_tolerance(op.dtype)
             inner_tol = max(outer * 1e-2, 1e-14)
-        si = shift_invert_operator_general(
-            op, sigma, restart=64, cycles=40, tol=inner_tol
+        from .cg import shift_invert_operator as _si_hermitian
+
+        si = _si_hermitian(
+            op, sigma, tol=inner_tol, solver="minres", max_iters=min(4 * n, 10000)
         )
         m = min(max_subspace or max(4 * k + 16, 32), n)
         kk = min(k, m // 2 - 1) if m // 2 - 1 > 0 else k

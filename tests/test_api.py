@@ -456,3 +456,28 @@ def test_sigma_residual_honesty_flags_garbage(key):
     assert not res.converged
     assert res.termination == "inner_solve_failure"
     assert res.trace.has_error()
+
+
+def test_eigsh_sigma_mesh_interior_indefinite():
+    """INTERIOR sigma on the mesh: (A − σI) is indefinite, plain CG can
+    fail silently — the distributed CGLS fallback must still deliver the
+    nearest-σ pairs (previously the docs told users to avoid mesh= here)."""
+    import jax
+    from jax.sharding import Mesh
+
+    n = 256
+    coo, A = _laplacian_coo(n)
+    lam = np.array([2 - 2 * np.cos((j + 1) * np.pi / (n + 1)) for j in range(n)])
+    sigma = 2.0  # dead middle of the [0, 4] Laplacian spectrum
+    mesh = Mesh(np.array(jax.devices("cpu")), ("rows",))
+    res = eigsh(
+        coo, k=2, sigma=sigma, tol=1e-12, inner_tol=1e-12, mesh=mesh,
+        matvec_mode="halo", block_shape=(4, 4), max_subspace=40,
+    )
+    assert res.termination != "inner_solve_failure", res.trace
+    want = np.sort(lam[np.argsort(np.abs(lam - sigma))[:2]])
+    np.testing.assert_allclose(np.sort(res.eigenvalues), want, atol=1e-8)
+    for j in range(2):
+        v = np.asarray(res.eigenvectors[:, j])
+        r = np.linalg.norm(A @ v - res.eigenvalues[j] * v)
+        assert r < 1e-6, f"pair {j} residual {r:.2e}"

@@ -147,3 +147,45 @@ def test_shift_invert_hermitian_indefinite_fallback():
     r = np.asarray(A) @ np.asarray(y) - sigma * np.asarray(y) - np.asarray(x)
     rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(x))
     assert rel < 1e-9, f"SI solve rel residual {rel:.2e}"
+
+
+def test_minres_definite_and_indefinite():
+    import numpy as np
+    from eigenex_tpu.solvers.cg import minres_solve
+    from eigenex_tpu.core.operators import aslinearoperator
+
+    rng = np.random.default_rng(3)
+    n = 60
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    for lam in (np.linspace(0.5, 5.0, n), np.linspace(-3.0, 3.0, n) + 0.07):
+        A = jnp.asarray(Q @ np.diag(lam) @ Q.T)
+        b = jnp.asarray(rng.standard_normal(n))
+        x, rn, it = minres_solve(aslinearoperator(A), b, tol=1e-12, max_iters=2000)
+        resid = np.linalg.norm(np.asarray(A) @ np.asarray(x) - np.asarray(b))
+        assert resid < 1e-9, (resid, int(it))
+
+
+def test_minres_complex_hermitian():
+    import numpy as np
+    from eigenex_tpu.solvers.cg import minres_solve
+    from eigenex_tpu.core.operators import aslinearoperator
+
+    rng = np.random.default_rng(4)
+    n = 40
+    H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (H + H.conj().T) / 2 + np.eye(n) * 0.1  # Hermitian indefinite-ish
+    A = jnp.asarray(H)
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    x, rn, it = minres_solve(aslinearoperator(A), b, tol=1e-12, max_iters=4000)
+    resid = np.linalg.norm(H @ np.asarray(x) - np.asarray(b))
+    assert resid < 1e-9, (resid, int(it))
+
+
+def test_minres_rejects_rectangular():
+    import pytest
+    from eigenex_tpu.solvers.cg import minres_solve
+    from eigenex_tpu.core.operators import aslinearoperator
+    from eigenex_tpu.utils.exceptions import EigenexError
+
+    with pytest.raises(EigenexError):
+        minres_solve(aslinearoperator(jnp.ones((3, 4))), jnp.ones(3))
