@@ -20,6 +20,7 @@ import numpy as np
 __all__ = [
     "NATIVE", "native_available", "coo_shrink", "bsr_pack",
     "heisenberg_sector", "mm_info", "mm_read",
+    "rcm_permutation", "blk_widths", "bsr_pack_f32", "sym_bsr_pack_f32",
 ]
 
 _SRC = Path(__file__).parent / "src" / "builders.cpp"
@@ -66,6 +67,19 @@ def _load():
     lib.mm_info.argtypes = [ctypes.c_char_p, p_i64]
     lib.mm_read.restype = i64
     lib.mm_read.argtypes = [ctypes.c_char_p, p_i64, p_i64, p_f64, p_f64, i64]
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.rcm_permutation.restype = i64
+    lib.rcm_permutation.argtypes = [p_i64, p_i64, i64, p_i64]
+    lib.blk_widths.restype = i64
+    lib.blk_widths.argtypes = [p_i64, p_i64, i64, i64, i64, i64, p_i64, p_i64]
+    lib.bsr_pack_sorted_f32.restype = i64
+    lib.bsr_pack_sorted_f32.argtypes = [
+        p_i64, p_i64, p_f64, i64, p_i64, i64, i64, i64, i64, p_f32, p_i32,
+    ]
+    lib.sym_bsr_pack_sorted_f32.restype = i64
+    lib.sym_bsr_pack_sorted_f32.argtypes = [
+        p_i64, p_i64, p_f64, i64, p_i64, i64, i64, p_f32, p_f32, p_i32,
+    ]
     return lib
 
 
@@ -119,6 +133,72 @@ def heisenberg_sector(L: int, n_up: int, J: float, Jz: float, pbc: bool):
     if nnz < 0:
         raise RuntimeError(f"heisenberg_sector failed with code {nnz}")
     return rows[:nnz], cols[:nnz], vals[:nnz], dim
+
+
+def rcm_permutation(rowptr, colidx):
+    """Reverse Cuthill-McKee ordering of a symmetric-pattern CSR graph.
+
+    Returns perm (int64) with scipy's convention: ``A[perm][:, perm]``
+    is banded (perm[i] = original index at new position i)."""
+    rowptr = np.ascontiguousarray(rowptr, np.int64)
+    colidx = np.ascontiguousarray(colidx, np.int64)
+    n = len(rowptr) - 1
+    perm = np.zeros(n, np.int64)
+    rc = NATIVE.rcm_permutation(rowptr, colidx, n, perm)
+    if rc != 0:
+        raise RuntimeError(f"rcm_permutation failed with code {rc}")
+    return perm
+
+
+def blk_widths(rows, cols, bm: int, bn: int, nbc: int):
+    """One shared sort for the block packers.
+
+    Returns (order, kmax, ku, reach): ``order`` argsorts the triplets by
+    (block_row, block_col) and feeds :func:`bsr_pack_f32` /
+    :func:`sym_bsr_pack_f32`; kmax/ku are the general/strictly-upper ELL
+    widths, reach the block band reach (ku/reach only for bm == bn)."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    order = np.zeros(len(rows), np.int64)
+    out = np.zeros(3, np.int64)
+    rc = NATIVE.blk_widths(rows, cols, len(rows), bm, bn, nbc, order, out)
+    if rc != 0:
+        raise RuntimeError(f"blk_widths failed with code {rc}")
+    return order, int(out[0]), int(out[1]), int(out[2])
+
+
+def bsr_pack_f32(rows, cols, vals, order, nbr, nbc, bm, bn, kmax):
+    """General BSR-ELL pack (f32 data) over a blk_widths order."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    data = np.zeros((nbr, kmax, bm, bn), np.float32)
+    bcols = np.zeros((nbr, kmax), np.int32)
+    rc = NATIVE.bsr_pack_sorted_f32(
+        rows, cols, vals, len(vals), order, bm, bn, nbc, kmax, data, bcols
+    )
+    if rc != 0:
+        raise RuntimeError(f"bsr_pack_sorted_f32 failed with code {rc}")
+    return data, bcols
+
+
+def sym_bsr_pack_f32(rows, cols, vals, order, nbr, b, ku):
+    """Symmetric diag + strictly-upper pack (f32) over a blk_widths order.
+
+    Lower-triangle triplets are skipped (their count is returned for the
+    caller's symmetry sanity check as ``skipped``)."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    diag = np.zeros((nbr, b, b), np.float32)
+    upper = np.zeros((nbr, ku, b, b), np.float32)
+    ucols = np.zeros((nbr, ku), np.int32)
+    skipped = NATIVE.sym_bsr_pack_sorted_f32(
+        rows, cols, vals, len(vals), order, b, ku, diag, upper, ucols
+    )
+    if skipped < 0:
+        raise RuntimeError(f"sym_bsr_pack_sorted_f32 failed with code {skipped}")
+    return diag, upper, ucols, int(skipped)
 
 
 _MM_ERRORS = {

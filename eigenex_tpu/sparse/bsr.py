@@ -33,6 +33,19 @@ from ..utils.exceptions import EigenexError
 __all__ = ["BSRMatrix", "bsr_from_coo_arrays", "bsr_from_dense"]
 
 
+def _on_tpu_device(x) -> bool:
+    """Whether ``x``'s committed device(s) are TPUs — the Pallas-routing
+    test.  ``jax.default_backend()`` alone is wrong on machines where a
+    TPU plugin registers while compute is pinned to CPU (the CI conftest
+    case): a CPU-resident array must take the XLA path even then.
+    Tracers (no devices yet) fall back to the backend default."""
+    try:
+        devs = x.devices()
+    except Exception:
+        return jax.default_backend() == "tpu"
+    return all(d.platform == "tpu" for d in devs)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BSRMatrix:
@@ -113,7 +126,7 @@ class BSRMatrix:
         from .coo import _container_matmat, _container_matvec
 
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = _on_tpu_device(self.data)
         if use_pallas:
             return LinearOperator(
                 _bsr_pallas_matvec,

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..core.operators import LinearOperator
 from ..utils.exceptions import EigenexError
-from .bsr import BSRMatrix
+from .bsr import BSRMatrix, _on_tpu_device
 
 __all__ = ["SymBSRMatrix", "sym_bsr_from_bsr"]
 
@@ -116,6 +116,8 @@ class SymBSRMatrix:
         return y.reshape(self.shape[0]).astype(acc)
 
     def matvec(self, x: jax.Array) -> jax.Array:
+        if not _on_tpu_device(self.diag_data):
+            return self._xla_matvec(x)
         from ..ops.pallas_spmv import sym_bsr_matvec_pallas
 
         return sym_bsr_matvec_pallas(self, x)
@@ -125,6 +127,8 @@ class SymBSRMatrix:
         kernel (:func:`eigenex_tpu.ops.pallas_spmv.sym_bsr_matmat_pallas`)
         when the VMEM-resident X/Y panels fit, else the XLA scatter-add
         path below."""
+        if not _on_tpu_device(self.diag_data):
+            return self._xla_matmat(X)
         from ..ops.pallas_spmv import sym_bsr_matmat_pallas
 
         return sym_bsr_matmat_pallas(self, X)
@@ -156,7 +160,7 @@ class SymBSRMatrix:
 
     def as_linear_operator(self, use_pallas: bool | None = None) -> LinearOperator:
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = _on_tpu_device(self.diag_data)
         mv = _sym_pallas_matvec if use_pallas else _sym_xla_matvec
         return LinearOperator(
             mv, self, self.shape, self._acc_dtype,  # bf16 storage -> f32 matvec

@@ -1,0 +1,181 @@
+"""Tests for the scalar-sparse acceleration pipeline
+(:mod:`eigenex_tpu.sparse.accelerate`): RCM reorder + block pack must be
+an EXACT relayout — matvecs match the COO oracle, solvers run in
+permuted space and restore to original coordinates, complex Hermitian
+operators ride the real embedding onto the symmetric path.
+
+Reference anchor: the serial COO scatter this pipeline replaces at scale
+(triplets_matrix.hpp:314-318); the complex operator class is
+sample_lanczos2.cpp:13-57.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from eigenex_tpu.sparse.accelerate import AcceleratedOperator, accelerate, band_permutation
+from eigenex_tpu.sparse.coo import COOMatrix, coo_from_dense
+from eigenex_tpu.utils.exceptions import EigenexError
+
+
+def _random_symmetric_coo(n, density, seed, complex_=False):
+    rng = np.random.default_rng(seed)
+    m = sp.random(n, n, density=density, random_state=seed)
+    if complex_:
+        m = m + 1j * sp.random(n, n, density=density, random_state=seed + 1)
+        m = m + m.conj().T + sp.eye(n) * 2.0
+    else:
+        m = m + m.T + sp.eye(n) * 2.0
+    coo = m.tocoo()
+    return coo
+
+
+def test_band_permutation_reduces_bandwidth():
+    # 2-D grid Laplacian: natural order bandwidth ~ side, random shuffle
+    # destroys it, RCM must restore O(side)
+    side = 24
+    n = side * side
+    g = sp.eye(n) * 4
+    for d in (1, side):
+        g = g - sp.eye(n, k=d) - sp.eye(n, k=-d)
+    g = g.tocoo()
+    shuf = np.random.default_rng(0).permutation(n)
+    r, c = shuf[g.row], shuf[g.col]
+    perm = band_permutation(r, c, n)
+    ip = np.empty(n, np.int64)
+    ip[perm] = np.arange(n)
+    bw = np.abs(ip[r] - ip[c]).max()
+    assert bw <= 4 * side  # shuffled bandwidth is ~n; RCM restores O(side)
+
+
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_accelerate_matvec_matches_coo(symmetric):
+    n = 300
+    if symmetric:
+        coo = _random_symmetric_coo(n, 0.02, 0)
+    else:
+        coo = sp.random(n, n, density=0.02, random_state=1).tocoo()
+        coo = (sp.eye(n) + coo).tocoo()  # keep it square, irreducible-ish
+    acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+    assert acc.symmetric == symmetric
+    assert acc.stats["fill"] > 0
+    x = np.random.default_rng(2).standard_normal(n)
+    y_ref = coo @ x
+    xe = acc.embed(x)
+    y = acc.restore(np.asarray(acc.as_linear_operator().matvec(xe)))
+    assert np.abs(y - y_ref).max() < 1e-4 * np.abs(y_ref).max()
+
+
+def test_accelerate_detects_symmetry_and_respects_override():
+    n = 200
+    coo = _random_symmetric_coo(n, 0.03, 3)
+    acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+    assert acc.symmetric
+    acc_gen = accelerate((coo.row, coo.col, coo.data, coo.shape), symmetric=False)
+    assert not acc_gen.symmetric
+    x = np.random.default_rng(0).standard_normal(n)
+    y1 = acc.restore(np.asarray(acc.as_linear_operator().matvec(acc.embed(x))))
+    y2 = acc_gen.restore(np.asarray(acc_gen.as_linear_operator().matvec(acc_gen.embed(x))))
+    assert np.abs(y1 - y2).max() < 1e-4 * max(np.abs(y1).max(), 1e-30)
+
+
+def test_accelerate_complex_hermitian_rides_symmetric_path():
+    n = 120
+    coo = _random_symmetric_coo(n, 0.03, 5, complex_=True)
+    acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+    assert acc.complexified and acc.symmetric
+    assert acc.shape[0] >= 2 * n  # real embedding, padded
+    z = np.random.default_rng(1).standard_normal(n) + 1j * np.random.default_rng(2).standard_normal(n)
+    y_ref = coo @ z
+    y = acc.restore(np.asarray(acc.as_linear_operator().matvec(acc.embed(z))))
+    assert np.iscomplexobj(y)
+    assert np.abs(y - y_ref).max() < 1e-4 * np.abs(y_ref).max()
+
+
+def test_accelerate_bf16_auto_is_lossless_only():
+    n = 128
+    # dyadic values: exactly representable in bf16
+    rng = np.random.default_rng(7)
+    m = sp.random(n, n, density=0.05, random_state=7)
+    m.data = np.round(m.data * 4) / 4 + 2.0
+    m = (m + m.T).tocoo()
+    acc = accelerate((m.row, m.col, m.data, m.shape))
+    assert acc.stats["dtype"] == "bfloat16"
+    # generic values: must stay f32
+    m2 = _random_symmetric_coo(n, 0.05, 8)
+    acc2 = accelerate((m2.row, m2.col, m2.data, m2.shape))
+    assert acc2.stats["dtype"] == "float32"
+    # explicit dtype wins
+    acc3 = accelerate((m2.row, m2.col, m2.data, m2.shape), dtype=jnp.bfloat16)
+    assert acc3.stats["dtype"] == "bfloat16"
+
+
+def test_accelerate_duplicate_triplets_merge():
+    n = 64
+    r = np.array([0, 0, 1, 5, 5])
+    c = np.array([1, 1, 0, 5, 5])
+    v = np.array([2.0, 3.0, 5.0, 1.0, 1.0])
+    acc = accelerate((r, c, v, (n, n)))
+    x = np.zeros(n)
+    x[1] = 1.0
+    y = acc.restore(np.asarray(acc.as_linear_operator().matvec(acc.embed(x))))
+    assert abs(y[0] - 5.0) < 1e-5
+
+
+def test_accelerate_eigsh_end_to_end_restores_eigenvectors():
+    from eigenex_tpu.solvers.lanczos import LanczosEigenSolver, LanczosOptions
+
+    n = 400
+    coo = _random_symmetric_coo(n, 0.02, 11)
+    dense = coo.toarray()
+    evals_ref = np.linalg.eigvalsh(dense)
+    acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+    res = (
+        LanczosEigenSolver(
+            acc.as_linear_operator(),
+            LanczosOptions(max_eigenvalues=3, tolerance=1e-10, max_subspace=120),
+        )
+        .set_initial_vector(acc.embed(np.random.default_rng(0).standard_normal(n)))
+        .compute()
+    )
+    lam = np.sort(np.asarray(res.eigenvalues))[:3]
+    assert np.abs(lam - evals_ref[:3]).max() < 1e-6
+    V = acc.restore(np.asarray(res.eigenvectors))
+    for j in range(V.shape[1]):
+        v = V[:, j] / np.linalg.norm(V[:, j])
+        lam_j = float(v @ dense @ v)
+        assert np.linalg.norm(dense @ v - lam_j * v) < 1e-5
+
+
+def test_embed_restore_roundtrip_and_validation():
+    n = 100
+    coo = _random_symmetric_coo(n, 0.05, 13)
+    acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+    X = np.random.default_rng(3).standard_normal((n, 4))
+    back = acc.restore(np.asarray(acc.embed(X)))
+    assert np.abs(back - X).max() < 1e-6
+    with pytest.raises(EigenexError):
+        acc.embed(np.zeros(n + 1))
+    with pytest.raises(EigenexError):
+        acc.restore(np.zeros(acc.shape[0] + 1))
+
+
+def test_accelerate_rejects_bad_input():
+    with pytest.raises(EigenexError):
+        accelerate(np.zeros((4, 4)))  # dense array is not an accepted operand
+
+
+def test_accelerate_numpy_fallback_matches_native(monkeypatch):
+    n = 250
+    coo = _random_symmetric_coo(n, 0.03, 17)
+    acc_native = accelerate((coo.row, coo.col, coo.data, coo.shape))
+    import eigenex_tpu.native as native
+
+    monkeypatch.setattr(native, "NATIVE", None)
+    acc_np = accelerate((coo.row, coo.col, coo.data, coo.shape))
+    x = np.random.default_rng(0).standard_normal(n)
+    y1 = acc_native.restore(np.asarray(acc_native.as_linear_operator().matvec(acc_native.embed(x))))
+    y2 = acc_np.restore(np.asarray(acc_np.as_linear_operator().matvec(acc_np.embed(x))))
+    assert np.abs(y1 - y2).max() < 1e-4 * np.abs(y1).max()
