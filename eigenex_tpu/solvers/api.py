@@ -101,6 +101,8 @@ def eigsh(
     matvec_mode: str = "allgather",
     block_shape: tuple[int, int] | None = None,
     refine: bool | int = False,
+    v0=None,
+    accelerate: bool = False,
 ) -> LanczosResult:
     """k extremal (or σ-targeted) eigenpairs of a Hermitian operator.
 
@@ -120,7 +122,37 @@ def eigsh(
     mesh: a ``jax.sharding.Mesh`` routes the iteration to the
     distributed thick-restart driver (sparse operands only).
     refine: with a COOMatrix operand, polish the pairs on host f64.
+    v0: initial Krylov vector (scipy parity); original-space for
+    accelerated operands.
+    accelerate: repack a scalar-sparse operand through
+    :func:`eigenex_tpu.sparse.accelerate.accelerate` (RCM reorder +
+    dense-block Pallas kernels — the fast path for unstructured
+    operators; complex Hermitian included) and solve in permuted space,
+    restoring eigenvectors to original coordinates.  An
+    :class:`~eigenex_tpu.sparse.accelerate.AcceleratedOperator` operand
+    takes this route implicitly.
     """
+    from ..sparse.accelerate import AcceleratedOperator
+    from ..sparse.coo import COOMatrix as _COO
+
+    orig_operand = A
+    if accelerate and not isinstance(A, AcceleratedOperator):
+        if mesh is not None or M is not None or preconditioner is not None:
+            raise EigenexError(
+                "accelerate=True cannot combine with mesh=/M=/preconditioner= "
+                "(repack to BSRMatrix manually for the mesh drivers)"
+            )
+        from ..sparse.accelerate import accelerate as _accelerate_fn
+
+        A = _accelerate_fn(A, symmetric=True)
+    if isinstance(A, AcceleratedOperator):
+        return _eigsh_accelerated(
+            A, k, which=which, sigma=sigma, tol=tol, max_subspace=max_subspace,
+            max_restarts=max_restarts, max_iterations=max_iterations, seed=seed,
+            inner_tol=inner_tol, refine=refine, v0=v0,
+            coo=orig_operand if isinstance(orig_operand, _COO) else None,
+        )
+
     op, coo, bsr = _resolve_operand(A)
     n = op.shape[0]
     if op.shape[0] != op.shape[1]:
@@ -135,6 +167,8 @@ def eigsh(
         sigma = 0.0
 
     if M is not None or preconditioner is not None:
+        if v0 is not None:
+            raise EigenexError("v0= is not supported on the LOBPCG (M=/preconditioner=) route")
         if sigma is not None or mesh is not None:
             raise EigenexError(
                 "M=/preconditioner= (the LOBPCG route) cannot be combined "
@@ -165,6 +199,8 @@ def eigsh(
         return _maybe_refine_hermitian(res, coo, refine)
 
     if mesh is not None:
+        if v0 is not None:
+            raise EigenexError("v0= is not supported with mesh= (the drivers build padding-safe starts)")
         if sigma is not None:
             # Distributed shift-invert: every outer Lanczos matvec is a
             # mesh-parallel CG solve of (A − σI) y = x with psum-completed
@@ -276,7 +312,7 @@ def eigsh(
         m = min(max_subspace or max(4 * k + 16, 32), n)
         kk = min(k, m // 2 - 1) if m // 2 - 1 > 0 else k
         both_ends = tuple(range(kk)) + tuple(range(-kk, 0))
-        res = LanczosEigenSolver(
+        si_solver = LanczosEigenSolver(
             si,
             LanczosOptions(
                 max_eigenvalues=2 * kk,
@@ -285,7 +321,10 @@ def eigsh(
                 max_subspace=m,
                 seed=seed,
             ),
-        ).compute()
+        )
+        if v0 is not None:
+            si_solver.set_initial_vector(v0)
+        res = si_solver.compute()
         theta = np.asarray(res.eigenvalues)
         nonzero = np.abs(theta) > 0
         lam_all = np.where(nonzero, float(np.real(sigma)) + 1.0 / np.where(nonzero, theta, 1.0), np.inf)
@@ -297,21 +336,24 @@ def eigsh(
     m = min(max_subspace or max(6 * n_track + 32, 64), n)
     if m >= n:
         # full subspace available: plain Lanczos terminates exactly
-        res = LanczosEigenSolver(
+        solver = LanczosEigenSolver(
             op,
             LanczosOptions(
                 max_eigenvalues=n_track, eigenvalue_indices=indices, tolerance=tol,
                 max_subspace=n, seed=seed,
             ),
-        ).compute()
+        )
     else:
-        res = ThickRestartLanczosEigenSolver(
+        solver = ThickRestartLanczosEigenSolver(
             op,
             ThickRestartOptions(
                 max_eigenvalues=n_track, eigenvalue_indices=indices, tolerance=tol,
                 max_subspace=m, max_restarts=max_restarts, seed=seed,
             ),
-        ).compute()
+        )
+    if v0 is not None:
+        solver.set_initial_vector(v0)
+    res = solver.compute()
     if lm_post:
         res = _postselect_lm(res, k)
     return _maybe_refine_hermitian(res, coo, refine)
@@ -387,6 +429,80 @@ def _maybe_refine_hermitian(res: LanczosResult, coo, refine) -> LanczosResult:
         termination=res.termination,
         trace=res.trace,
     )
+
+
+def _eigsh_accelerated(
+    acc, k, *, which, sigma, tol, max_subspace, max_restarts, max_iterations,
+    seed, inner_tol, refine, v0, coo,
+) -> LanczosResult:
+    """eigsh driver for an :class:`AcceleratedOperator`: solve over the
+    permuted+padded block container, restore eigenvectors to original
+    coordinates, and (for complexified operands) collapse the doubled
+    spectrum of the real embedding.
+
+    The start vector is always padding-safe (zero in the structurally-
+    zero pad rows), so the Krylov space never leaves the embedded
+    subspace and no spurious pad eigenvalues enter the tracked set."""
+    from ..parallel.distributed import _padding_safe_v0
+
+    if v0 is not None:
+        v0e = acc.embed(np.asarray(v0))
+    else:
+        v0e = _padding_safe_v0(
+            acc.n_work, acc.shape[0], acc.as_linear_operator().dtype, seed
+        )
+    # complexified: every eigenvalue of H appears (up to) twice in the
+    # real embedding — track 2k and dedup after restoring
+    mult = 2 if acc.complexified else 1
+    res = eigsh(
+        acc.matrix, mult * k, which=which, sigma=sigma, tol=tol,
+        max_subspace=max_subspace, max_restarts=max_restarts,
+        max_iterations=max_iterations, seed=seed, inner_tol=inner_tol, v0=v0e,
+    )
+    lam = np.asarray(res.eigenvalues)
+    vecs = (
+        acc.restore(np.asarray(res.eigenvectors))
+        if res.eigenvectors is not None
+        else None
+    )
+    if acc.complexified:
+        # Pairs need not both converge (a clean Krylov space holds ONE
+        # vector per 2-D embedded eigenspace; duplicates enter only via
+        # restarts/rounding), so dedup by value-closeness AND vector
+        # overlap rather than blindly taking every other entry.  Any
+        # unit real vector q = α[Re v, Im v] + β[−Im v, Re v] restores
+        # to the valid unit complex eigenvector (α+iβ)v, so one
+        # representative per group suffices.
+        spread = float(np.abs(lam).max()) if lam.size else 1.0
+        close = max(spread, 1.0) * 1e-3
+        if vecs is not None:
+            norms = np.linalg.norm(vecs, axis=0)
+            unit = vecs / np.maximum(norms, 1e-300)
+        keep: list[int] = []
+        for i in range(len(lam)):
+            dup = False
+            for j in keep:
+                if abs(lam[i] - lam[j]) > close:
+                    continue
+                if vecs is None or abs(np.vdot(unit[:, j], unit[:, i])) > 0.9:
+                    dup = True
+                    break
+            if not dup:
+                keep.append(i)
+        keep = keep[:k]
+        lam = lam[keep]
+        vecs = unit[:, keep] if vecs is not None else None
+    res2 = LanczosResult(
+        eigenvalues=lam,
+        eigenvectors=vecs,
+        iterations=res.iterations,
+        converged=res.converged,
+        termination=res.termination,
+        trace=res.trace,
+    )
+    if refine:
+        return _maybe_refine_hermitian(res2, coo, refine)
+    return res2
 
 
 def eigs(

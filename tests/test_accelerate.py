@@ -179,3 +179,106 @@ def test_accelerate_numpy_fallback_matches_native(monkeypatch):
     y1 = acc_native.restore(np.asarray(acc_native.as_linear_operator().matvec(acc_native.embed(x))))
     y2 = acc_np.restore(np.asarray(acc_np.as_linear_operator().matvec(acc_np.embed(x))))
     assert np.abs(y1 - y2).max() < 1e-4 * np.abs(y1).max()
+
+
+class TestEigshAccelerate:
+    """eigsh(..., accelerate=True) — the front-end route (api.py)."""
+
+    def test_real_symmetric_matches_plain(self):
+        from eigenex_tpu.solvers.api import eigsh
+        from eigenex_tpu.sparse.coo import COOMatrix
+        import jax.numpy as jnp
+
+        n = 350
+        coo_sp = _random_symmetric_coo(n, 0.02, 21)
+        coo = COOMatrix(
+            jnp.asarray(coo_sp.row.astype(np.int32)),
+            jnp.asarray(coo_sp.col.astype(np.int32)),
+            jnp.asarray(coo_sp.data),
+            (n, n),
+        )
+        ref = np.sort(np.linalg.eigvalsh(coo_sp.toarray()))
+        res = eigsh(coo, k=3, which="SA", accelerate=True, tol=1e-10)
+        lam = np.asarray(res.eigenvalues)
+        assert np.abs(lam - ref[:3]).max() < 1e-5
+        V = res.eigenvectors
+        assert V.shape == (n, 3)
+        dense = coo_sp.toarray()
+        for j in range(3):
+            v = V[:, j] / np.linalg.norm(V[:, j])
+            assert np.linalg.norm(dense @ v - lam[j] * v) < 1e-4
+
+    def test_complex_hermitian_collapses_doubling(self):
+        from eigenex_tpu.solvers.api import eigsh
+
+        n = 150
+        coo_sp = _random_symmetric_coo(n, 0.04, 23, complex_=True)
+        dense = coo_sp.toarray()
+        ref = np.sort(np.linalg.eigvalsh(dense))
+        res = eigsh(
+            (coo_sp.row, coo_sp.col, coo_sp.data, coo_sp.shape),
+            k=3, which="SA", accelerate=True, tol=1e-10,
+        )
+        lam = np.asarray(res.eigenvalues)
+        assert len(lam) == 3
+        # the three SMALLEST DISTINCT eigenvalues of H, not doubled copies
+        assert np.abs(lam - ref[:3]).max() < 1e-4
+        V = res.eigenvectors
+        assert np.iscomplexobj(V)
+        for j in range(3):
+            v = V[:, j] / np.linalg.norm(V[:, j])
+            assert np.linalg.norm(dense @ v - lam[j] * v) < 2e-4
+
+    def test_sigma_targeting_through_accelerate(self):
+        from eigenex_tpu.solvers.api import eigsh
+
+        n = 200
+        coo_sp = _random_symmetric_coo(n, 0.03, 29)
+        ref = np.sort(np.linalg.eigvalsh(coo_sp.toarray()))
+        target = float((ref[6] + ref[7]) / 2)
+        res = eigsh(
+            (coo_sp.row, coo_sp.col, coo_sp.data, coo_sp.shape),
+            k=2, sigma=target, accelerate=True, tol=1e-8,
+        )
+        lam = np.sort(np.asarray(res.eigenvalues))
+        want = np.sort(ref[np.argsort(np.abs(ref - target))[:2]])
+        assert np.abs(lam - want).max() < 1e-4
+
+    def test_v0_is_honored_in_original_space(self):
+        from eigenex_tpu.solvers.api import eigsh
+
+        n = 120
+        coo_sp = _random_symmetric_coo(n, 0.05, 31)
+        v0 = np.random.default_rng(0).standard_normal(n)
+        res = eigsh(
+            (coo_sp.row, coo_sp.col, coo_sp.data, coo_sp.shape),
+            k=2, which="SA", accelerate=True, v0=v0, tol=1e-10,
+        )
+        ref = np.sort(np.linalg.eigvalsh(coo_sp.toarray()))[:2]
+        assert np.abs(np.asarray(res.eigenvalues) - ref).max() < 1e-5
+
+    def test_accelerate_with_mesh_raises(self):
+        from eigenex_tpu.solvers.api import eigsh
+        import jax
+        from jax.sharding import Mesh
+
+        coo_sp = _random_symmetric_coo(64, 0.1, 37)
+        mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("rows",))
+        with pytest.raises(EigenexError):
+            eigsh(
+                (coo_sp.row, coo_sp.col, coo_sp.data, coo_sp.shape),
+                k=1, accelerate=True, mesh=mesh,
+            )
+
+    def test_refine_restores_then_polishes_on_original(self):
+        from eigenex_tpu.solvers.api import eigsh
+        from eigenex_tpu.sparse.coo import COOBuilder
+
+        n = 180
+        coo_sp = _random_symmetric_coo(n, 0.03, 41)
+        b = COOBuilder(n, n)
+        b.extend(coo_sp.row, coo_sp.col, coo_sp.data)
+        coo = b.build()
+        ref = np.sort(np.linalg.eigvalsh(coo_sp.toarray()))[:2]
+        res = eigsh(coo, k=2, which="SA", accelerate=True, refine=True, tol=1e-8)
+        assert np.abs(np.asarray(res.eigenvalues) - ref).max() < 1e-9
