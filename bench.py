@@ -209,7 +209,11 @@ def main():
 
         sym16 = sym_bsr_from_bsr(bsr).astype(jnp.bfloat16)
         y_s = sym_bsr_matvec_pallas(sym16, x)
-        y_x = bsr16.matvec(x)
+        # oracle: the SAME bf16-stored operator lifted exactly to f32 and
+        # applied via XLA — isolates kernel bugs from precision modes
+        # (the bf16 XLA path truncates x to bf16 per pass; the pallas
+        # kernels run HIGHEST since round 4 and are more accurate)
+        y_x = sym16.astype(jnp.float32)._xla_matvec(x)
         err = float(jnp.linalg.norm(y_s - y_x) / jnp.linalg.norm(y_x))
         if err < 1e-4:
             # streaming-kernel traffic: stored diag+upper blocks bf16,
@@ -237,7 +241,7 @@ def main():
             from eigenex_tpu.ops.pallas_spmv import bsr_matvec_pallas
 
             y_p = bsr_matvec_pallas(bsr16, x)
-            y_x = bsr16.matvec(x)
+            y_x = bsr16.astype(jnp.float32).matvec(x)
             if float(jnp.linalg.norm(y_p - y_x) / jnp.linalg.norm(y_x)) < 1e-4:
                 rates["pallas bf16"] = nnz / time_fn(
                     make_chained(bsr_matvec_pallas), bsr16, x

@@ -1,15 +1,23 @@
 """BASELINE config 3 at scale: Heisenberg spin-chain ground state.
 
 Builds the total-Sz=0 sector of an L-site XXZ chain with the native C++
-enumerator (dim C(L, L/2); L=24 → 2.7M states, ~35M nonzeros), runs f32
-Lanczos on the TPU (COO segment-sum SpMV), then polishes the energy on
-host in f64 — the full symmetry-sector pipeline end-to-end.
+enumerator (dim C(L, L/2); L=24 → 2.7M states, ~35M nonzeros), then runs
+f32 Lanczos on the TPU and polishes the energy on host in f64.
+
+Round 4: the device operator rides the ACCELERATED path by default —
+RCM reorder + 128x128 symmetric (diag+upper) block pack + the Pallas
+streaming kernels (sparse/accelerate.py) — replacing the scalar COO
+segment-sum SpMV that measured 0.04-0.07 Gnnz/s on v5e.  The couplings
+(±J/2, ±Jz/4) are dyadic, so bf16 block storage is bitwise lossless and
+is auto-selected.  ``--no-accelerate`` runs the old scalar path for
+comparison; ``--spmv-reps`` also measures the raw on-chip SpMV rate via
+the two-point chain-slope protocol (median of N reps).
 
 For L ≤ 14 the energy is cross-checked against dense diagonalization;
-at L=24 correctness is certified by the f64 residual of the refined
+at larger L correctness is certified by the f64 residual of the refined
 pair.
 
-Usage: python benchmarks/bench_heisenberg.py [--L 24]
+Usage: python benchmarks/bench_heisenberg.py [--L 24] [--no-accelerate]
 """
 
 import argparse
@@ -20,18 +28,60 @@ import time
 import numpy as np
 
 
+def spmv_chain_rate(op, dim, nnz, reps):
+    """Per-matvec seconds via the two-point fori_loop chain slope
+    (median of ``reps``) — amortizes the ~25 ms per-dispatch tunnel
+    latency that single-call timing is dominated by."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def chain(params, x, k):
+        def body(i, acc):
+            y = op._matvec_fn(params, acc)
+            return (y / jnp.linalg.norm(y)).astype(x.dtype)
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(op.shape[1]).astype(np.float32))
+
+    def timed(k):
+        # force a (tiny) device->host copy: through the axon tunnel
+        # block_until_ready can return before execution completes, which
+        # silently times nothing
+        np.asarray(chain(op._params, x, k)[:16])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(chain(op._params, x, k)[:16])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), ts
+
+    # long chains: at Gnnz/s-class rates the per-dispatch tunnel jitter
+    # (~tens of ms) swamps a 16-matvec delta, so slope over 128 matvecs
+    t_lo, _ = timed(32)
+    t_hi, _ = timed(288)
+    per = (t_hi - t_lo) / 256
+    if per <= 0:
+        return None, None
+    return per, nnz / per / 1e9
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--L", type=int, default=24)
+    ap.add_argument("--no-accelerate", action="store_true")
+    ap.add_argument("--spmv-reps", type=int, default=5)
+    ap.add_argument("--tol", type=float, default=1e-8)
     args = ap.parse_args()
     L = args.L
 
     import jax
-    import jax.numpy as jnp
 
     sys.path.insert(0, ".")
     from eigenex_tpu import native
-    from eigenex_tpu.solvers.lanczos import LanczosEigenSolver, LanczosOptions
+    from eigenex_tpu.solvers.api import eigsh
     from eigenex_tpu.solvers.refine import rayleigh_refine
     from eigenex_tpu.sparse.coo import COOMatrix
 
@@ -45,30 +95,71 @@ def main():
         file=sys.stderr,
     )
 
-    # f32 device operator; f64 triplets stay on host for refinement
-    coo32 = COOMatrix(
-        jnp.asarray(r.astype(np.int32)),
-        jnp.asarray(c.astype(np.int32)),
-        jnp.asarray(v.astype(np.float32)),
-        (dim, dim),
-    )
+    # f64 triplets stay on host for refinement
     coo64 = COOMatrix(r.astype(np.int32), c.astype(np.int32), v, (dim, dim))
 
+    spmv_rate = None
+    if args.no_accelerate:
+        import jax.numpy as jnp
+
+        coo32 = COOMatrix(
+            jnp.asarray(r.astype(np.int32)),
+            jnp.asarray(c.astype(np.int32)),
+            jnp.asarray(v.astype(np.float32)),
+            (dim, dim),
+        )
+        operand = coo32
+        op_for_spmv = coo32.as_linear_operator()
+        mode = "coo_segment_sum"
+    else:
+        from eigenex_tpu.sparse.accelerate import accelerate
+
+        t0 = time.time()
+        operand = accelerate((r, c, v, (dim, dim)), symmetric=True)
+        st = operand.stats
+        print(
+            f"# accelerate: pack {st['pack_seconds']:.1f}s dtype={st['dtype']} "
+            f"fill={st['fill']*100:.2f}% slots={st['slots']/1e6:.0f}M "
+            f"({st['bytes']/2**30:.2f} GiB) bw {st['bandwidth_before']:,} -> "
+            f"{st['bandwidth_after']:,} ku={st.get('ku')} reach={st.get('band_reach')}",
+            file=sys.stderr,
+        )
+        op_for_spmv = operand.as_linear_operator()
+        mode = f"accelerated_sym_{st['dtype']}"
+
+    if args.spmv_reps and jax.default_backend() == "tpu":
+        per, rate = spmv_chain_rate(op_for_spmv, dim, len(v), args.spmv_reps)
+        spmv_rate = rate
+        if rate is None:
+            print("# on-chip SpMV: slope not resolvable (noise > signal)", file=sys.stderr)
+        else:
+            print(
+                f"# on-chip SpMV ({mode}): {per*1e3:.3f} ms/matvec = {rate:.2f} Gnnz/s "
+                f"(chain slope over 256 matvecs, median of {args.spmv_reps})",
+                file=sys.stderr,
+            )
+
     t0 = time.time()
-    res = LanczosEigenSolver(
-        coo32.as_linear_operator(),
-        LanczosOptions(max_eigenvalues=1, tolerance=1e-8, max_subspace=160, check_every=16),
-    ).compute()
+    res = eigsh(operand, k=1, which="SA", tol=args.tol, max_subspace=160)
+    t_cold = time.time() - t0
+    print(
+        f"# f32 Lanczos on {jax.default_backend()} (cold, incl. compile): "
+        f"{res.iterations} iters in {t_cold:.1f}s ({res.termination})",
+        file=sys.stderr,
+    )
+    t0 = time.time()
+    res = eigsh(operand, k=1, which="SA", tol=args.tol, max_subspace=160)
     t_solve = time.time() - t0
     e32 = float(res.eigenvalues[0])
     print(
-        f"# f32 Lanczos on {jax.default_backend()}: {res.iterations} iters in "
+        f"# f32 Lanczos on {jax.default_backend()} (warm): {res.iterations} iters in "
         f"{t_solve:.1f}s -> E0={e32:.8f} ({res.termination})",
         file=sys.stderr,
     )
 
     t0 = time.time()
-    lam, resid = rayleigh_refine(coo64, res.eigenvectors)
+    vecs = np.asarray(res.eigenvectors)
+    lam, resid = rayleigh_refine(coo64, vecs)
     t_ref = time.time() - t0
     print(
         f"# f64 Rayleigh: E0={lam[0]:.12f} (residual {resid[0]:.2e}) in {t_ref:.1f}s",
@@ -86,11 +177,14 @@ def main():
                 "L": L,
                 "sector_dim": dim,
                 "nnz": len(v),
+                "mode": mode,
                 "energy_f64": lam[0],
                 "residual": float(resid[0]),
                 "iterations": res.iterations,
                 "solve_seconds": t_solve,
+                "solve_seconds_cold": t_cold,
                 "iters_per_s": res.iterations / t_solve,
+                "spmv_gnnz_per_s": spmv_rate,
             }
         )
     )

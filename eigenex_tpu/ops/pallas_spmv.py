@@ -36,20 +36,49 @@ __all__ = [
 ]
 
 
-def _dot_precision(block_dtype):
-    """MXU precision for a kernel whose blocks are stored as ``block_dtype``.
+def _dot_mode(block_dtype):
+    """Precision strategy for a kernel whose blocks are stored as
+    ``block_dtype`` — see :func:`_sdot`.
 
     XLA:TPU (and Mosaic) multiply f32 dot_generals in ONE bf16 pass by
-    default — fine for bf16-stored operators (the data has bf16
-    precision anyway), but it silently floors f32-stored operators at
-    ~2.6e-3 relative error (measured on v5e; the XLA einsum path gives
-    1.1e-7).  f32 storage therefore requests HIGHEST (3-pass bf16 ≈ f32
-    multiply accuracy); the kernels are HBM-bound, so the extra passes
-    hide under the memory traffic."""
-    return (
-        jax.lax.Precision.HIGHEST
-        if block_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
+    default, silently flooring f32-stored operators at ~2.6e-3 relative
+    error (measured on v5e), so f32 storage requests HIGHEST (the
+    3x3-pass decomposition, f32 multiply accuracy).
+
+    bf16 storage is subtler (round-4 finding): a single bf16 pass also
+    truncates the f32 **x vector**, which poisons Krylov iterations even
+    when the stored blocks are bf16-EXACT (the accelerated Heisenberg
+    operator has dyadic couplings — storage lossless, yet DEFAULT
+    floored Lanczos at ~2e-3 successive-Ritz change and eigsh burned
+    30k iterations without converging).  Requesting HIGHEST fixes the
+    accuracy but costs ~1.9x (285 vs 548 Gnnz/s on the streaming sym
+    bench — the extra passes do NOT hide under HBM traffic).  The right
+    move exploits that the BLOCK side needs no decomposition: split x
+    into three bf16 components (hi/mid/lo) and run three DEFAULT bf16
+    passes — f32-grade accuracy at half of HIGHEST's MXU work."""
+    return "split" if block_dtype == jnp.bfloat16 else "highest"
+
+
+def _sdot(xv, blk, dims, mode):
+    """``dot_general(xv, blk)`` with storage-aware precision (see
+    :func:`_dot_mode`).  ``xv`` is the f32 x-side operand, ``blk`` the
+    (already f32-cast) block; ``dims`` the contracting-dim pairs."""
+    dn = (dims, ((), ()))
+    if mode == "split":
+        xhi = xv.astype(jnp.bfloat16).astype(jnp.float32)
+        xmid = (xv - xhi).astype(jnp.bfloat16).astype(jnp.float32)
+        xlo = xv - xhi - xmid
+        out = None
+        for part in (xhi, xmid, xlo):
+            r = jax.lax.dot_general(
+                part, blk, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            out = r if out is None else out + r
+        return out
+    return jax.lax.dot_general(
+        xv, blk, dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -74,7 +103,7 @@ def _spmv_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
     128/kmax× scalar memory and overflow the 1 MB SMEM budget."""
     r0 = pl.program_id(0) * rows_per
     bm = y_ref.shape[-1]
-    prec = _dot_precision(data_ref.dtype)
+    prec = _dot_mode(data_ref.dtype)
     for i in range(rows_per):
         acc = jnp.zeros((1, bm), jnp.float32)
         for k in range(kmax):
@@ -83,10 +112,7 @@ def _spmv_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
             # single-row loads need 8-sublane tiling; bf16's 16-row tiles
             # reject them
             blk = data_ref[i, k].astype(jnp.float32)  # (bm, bn)
-            acc = acc + jax.lax.dot_general(
-                xb, blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+            acc = acc + _sdot(xb, blk, ((1,), (1,)), prec)
         y_ref[i, :] = acc[0].astype(y_ref.dtype)
 
 
@@ -208,23 +234,17 @@ def _sym_spmv_stream_kernel(
 
     y_ref[...] = carry_ref[...].astype(y_ref.dtype)
     carry_ref[...] = jnp.zeros_like(carry_ref)
-    prec = _dot_precision(diag_ref.dtype)
+    prec = _dot_mode(diag_ref.dtype)
 
     for i in range(strip):
         xr = xc_ref[i, :][None, :]  # (1, bn) f32
         D = diag_ref[i].astype(jnp.float32)
-        acc = jax.lax.dot_general(
-            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=prec,
-        )
+        acc = _sdot(xr, D, ((1,), (1,)), prec)
         for k in range(ku):
             c = cols_ref[(pid * strip + i) * ku + k]
             off = c - pid * strip  # padding slots (col 0, zero data) may go
             B = upper_ref[i, k].astype(jnp.float32)  # negative: clamp +
-            yc = jax.lax.dot_general(  # add-zero is harmless
-                xr, B, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+            yc = _sdot(xr, B, ((1,), (0,)), prec)
             if i + reach < strip:
                 # STATIC fast path (all but the last `reach` rows of the
                 # strip): c ≤ r + reach < strip boundary, so the column
@@ -232,20 +252,14 @@ def _sym_spmv_stream_kernel(
                 # tile — no select, no predication, no carry
                 o1 = jnp.maximum(off, 0)
                 xb = xc_ref[pl.ds(o1, 1), :]
-                acc = acc + jax.lax.dot_general(
-                    xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                    precision=prec,
-                )
+                acc = acc + _sdot(xb, B, ((1,), (1,)), prec)
                 y_ref[pl.ds(o1, 1), :] = y_ref[pl.ds(o1, 1), :] + yc.astype(y_ref.dtype)
                 continue
             in_cur = off < strip
             o1 = jnp.clip(off, 0, strip - 1)
             o2 = jnp.clip(off - strip, 0, strip - 1)
             xb = jnp.where(in_cur, xc_ref[pl.ds(o1, 1), :], xn_ref[pl.ds(o2, 1), :])
-            acc = acc + jax.lax.dot_general(
-                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            acc = acc + _sdot(xb, B, ((1,), (1,)), prec)
 
             @pl.when(in_cur)
             def _(o1=o1, yc=yc):
@@ -336,28 +350,19 @@ def _sym_spmv_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_re
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    prec = _dot_precision(diag_ref.dtype)
+    prec = _dot_mode(diag_ref.dtype)
     for i in range(rows_per):
         r = r0 + i
         xr = x_ref[r, :][None, :]  # (1, bn)
         D = diag_ref[i].astype(jnp.float32)
-        acc = jax.lax.dot_general(
-            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=prec,
-        )
+        acc = _sdot(xr, D, ((1,), (1,)), prec)
         for k in range(ku):
             c = cols_ref[r * ku + k]
             xb = x_ref[c, :][None, :]
             B = upper_ref[i, k].astype(jnp.float32)
-            acc = acc + jax.lax.dot_general(
-                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            acc = acc + _sdot(xb, B, ((1,), (1,)), prec)
             # transpose contribution y[c] += Bᵀ x[r]  (= x[r] · B)
-            yc = jax.lax.dot_general(
-                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            yc = _sdot(xr, B, ((1,), (0,)), prec)
             y_ref[pl.ds(c, 1), :] = y_ref[pl.ds(c, 1), :] + yc.astype(y_ref.dtype)
         y_ref[pl.ds(r, 1), :] = y_ref[pl.ds(r, 1), :] + acc.astype(y_ref.dtype)
 
@@ -479,40 +484,28 @@ def _sym_spmm_stream_kernel(
 
     y_ref[...] = carry_ref[...].astype(y_ref.dtype)
     carry_ref[...] = jnp.zeros_like(carry_ref)
-    prec = _dot_precision(diag_ref.dtype)
+    prec = _dot_mode(diag_ref.dtype)
 
     for i in range(strip):
         Xr = xc_ref[i]  # (p, bn) f32
         D = diag_ref[i].astype(jnp.float32)
-        acc = jax.lax.dot_general(
-            Xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=prec,
-        )  # (p, bm)
+        acc = _sdot(Xr, D, ((1,), (1,)), prec)  # (p, bm)
         for k in range(ku):
             c = cols_ref[(pid * strip + i) * ku + k]
             off = c - pid * strip
             B = upper_ref[i, k].astype(jnp.float32)
-            YC = jax.lax.dot_general(
-                Xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # (p, bn)
+            YC = _sdot(Xr, B, ((1,), (0,)), prec)  # (p, bn)
             if i + reach < strip:
                 o1 = jnp.maximum(off, 0)
                 Xb = xc_ref[pl.ds(o1, 1)][0]
-                acc = acc + jax.lax.dot_general(
-                    Xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                    precision=prec,
-                )
+                acc = acc + _sdot(Xb, B, ((1,), (1,)), prec)
                 y_ref[pl.ds(o1, 1)] = y_ref[pl.ds(o1, 1)] + YC[None].astype(y_ref.dtype)
                 continue
             in_cur = off < strip
             o1 = jnp.clip(off, 0, strip - 1)
             o2 = jnp.clip(off - strip, 0, strip - 1)
             Xb = jnp.where(in_cur, xc_ref[pl.ds(o1, 1)], xn_ref[pl.ds(o2, 1)])[0]
-            acc = acc + jax.lax.dot_general(
-                Xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            acc = acc + _sdot(Xb, B, ((1,), (1,)), prec)
 
             @pl.when(in_cur)
             def _(o1=o1, YC=YC):
@@ -601,27 +594,18 @@ def _sym_spmm_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_re
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    prec = _dot_precision(diag_ref.dtype)
+    prec = _dot_mode(diag_ref.dtype)
     for i in range(rows_per):
         r = r0 + i
         xr = x_ref[r]  # (p, bn) f32
         D = diag_ref[i].astype(jnp.float32)
-        acc = jax.lax.dot_general(
-            xr, D, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=prec,
-        )  # (p, bm)
+        acc = _sdot(xr, D, ((1,), (1,)), prec)  # (p, bm)
         for k in range(ku):
             c = cols_ref[r * ku + k]
             xb = x_ref[c]  # (p, bn)
             B = upper_ref[i, k].astype(jnp.float32)
-            acc = acc + jax.lax.dot_general(
-                xb, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-            yc = jax.lax.dot_general(
-                xr, B, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # (p, bn)
+            acc = acc + _sdot(xb, B, ((1,), (1,)), prec)
+            yc = _sdot(xr, B, ((1,), (0,)), prec)  # (p, bn)
             y_ref[pl.ds(c, 1)] = y_ref[pl.ds(c, 1)] + yc[None]
         y_ref[pl.ds(r, 1)] = y_ref[pl.ds(r, 1)] + acc[None]
 
@@ -724,17 +708,14 @@ def _spmm_kernel(kmax: int, rows_per: int, cols_ref, data_ref, x_ref, y_ref):
     VMEM overflow at n=196k).  Unlike the symmetric kernel no output
     scatter exists, so Y streams per program; only X is resident."""
     r0 = pl.program_id(0) * rows_per
-    prec = _dot_precision(data_ref.dtype)
+    prec = _dot_mode(data_ref.dtype)
     for i in range(rows_per):
         acc = jnp.zeros(y_ref.shape[-2:], jnp.float32)  # (p, bm)
         for k in range(kmax):
             c = cols_ref[(r0 + i) * kmax + k]
             xb = x_ref[c]  # (p, bn)
             blk = data_ref[i, k].astype(jnp.float32)  # (bm, bn)
-            acc = acc + jax.lax.dot_general(
-                xb, blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+            acc = acc + _sdot(xb, blk, ((1,), (1,)), prec)
         y_ref[i] = acc.astype(y_ref.dtype)
 
 

@@ -104,6 +104,7 @@ class BSRMatrix:
             self.data,
             gathered.astype(self.dtype),
             preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return y.reshape(self.shape[0]).astype(acc)
 
@@ -119,6 +120,7 @@ class BSRMatrix:
             self.data,
             gathered.astype(self.dtype),
             preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return y.reshape(self.shape[0], p).astype(acc)
 

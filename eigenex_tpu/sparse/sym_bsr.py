@@ -96,12 +96,14 @@ class SymBSRMatrix:
         y = jnp.einsum(
             "rij,rj->ri", self.diag_data, xb.astype(self.dtype),
             preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
         )
         # upper blocks: y[r] += B x[c]
         xg = xb[self.upper_cols]  # (nbr, ku, bn)
         y = y + jnp.einsum(
             "rkij,rkj->ri", self.upper_data, xg.astype(self.dtype),
             preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
         )
         # transpose (conjugate for complex) contributions: y[c] += Bᴴ x[r]
         up = (
@@ -110,7 +112,8 @@ class SymBSRMatrix:
             else self.upper_data
         )
         contrib = jnp.einsum(
-            "rkij,ri->rkj", up, xb.astype(self.dtype), preferred_element_type=acc
+            "rkij,ri->rkj", up, xb.astype(self.dtype), preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (nbr, ku, bn)
         y = y.at[self.upper_cols].add(contrib.astype(acc))
         return y.reshape(self.shape[0]).astype(acc)
@@ -141,11 +144,13 @@ class SymBSRMatrix:
         y = jnp.einsum(
             "rij,rjp->rip", self.diag_data, xb.astype(self.dtype),
             preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
         )
         xg = xb[self.upper_cols]  # (nbr, ku, bn, p)
         y = y + jnp.einsum(
             "rkij,rkjp->rip", self.upper_data, xg.astype(self.dtype),
             preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
         )
         up = (
             jnp.conj(self.upper_data)
@@ -153,7 +158,8 @@ class SymBSRMatrix:
             else self.upper_data
         )
         contrib = jnp.einsum(
-            "rkij,rip->rkjp", up, xb.astype(self.dtype), preferred_element_type=acc
+            "rkij,rip->rkjp", up, xb.astype(self.dtype), preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
         )
         y = y.at[self.upper_cols].add(contrib.astype(acc))
         return y.reshape(self.shape[0], p).astype(acc)
