@@ -299,7 +299,7 @@ def _get_dist_chunk(
                     p[0].shape,
                     p[0].dtype,
                     # Hermitian operator, real shift: self-adjoint — gives
-                    # the CGLS fallback its A^H without a second codepath
+                    # the MINRES/CGLS rescue its A^H without a second codepath
                     rmatvec_fn=lambda pp, v: pp[0].matvec(v) - pp[1] * v,
                 )
                 y, _, _ = _cg_loop(

@@ -116,9 +116,10 @@ def eigsh(
     GENERALIZED problem ``A x = λ M x`` — routes to the block
     preconditioned LOBPCG driver (:func:`~eigenex_tpu.solvers.lobpcg.lobpcg`),
     optionally with ``preconditioner`` (``T ≈ A⁻¹`` applied blockwise).
-    inner_tol: relative-residual target of the GMRES inner solve backing
-    ``sigma`` targeting — the outer eigenvalue error tracks this knob
-    (default: 1e-2 of the outer tolerance).
+    inner_tol: relative-residual target of the MINRES inner solve
+    backing ``sigma`` targeting (CG with MINRES/CGLS rescue on the mesh
+    route) — the outer eigenvalue error tracks this knob (default: 1e-2
+    of the outer tolerance).
     mesh: a ``jax.sharding.Mesh`` routes the iteration to the
     distributed thick-restart driver (sparse operands only).
     refine: with a COOMatrix operand, polish the pairs on host f64.
@@ -206,7 +207,7 @@ def eigsh(
             # mesh-parallel CG solve of (A − σI) y = x with psum-completed
             # inner products — the BASELINE config-5 pipeline in one call.
             # Interior σ makes the shift indefinite; the inner solve then
-            # falls back to mesh-parallel CGLS automatically (checked by
+            # falls back to mesh-parallel MINRES automatically (checked by
             # true residual), so any σ is fair game.
             from ..parallel.distributed import DistributedShiftInvertLanczosEigenSolver
 
@@ -235,7 +236,7 @@ def eigsh(
                 res.eigenvectors = res.eigenvectors[:n]
             lam_all = np.asarray(res.eigenvalues)
             res = _select_nearest_sigma(res, lam_all, sigma, k)
-            res = _check_true_residuals(res, op, "eigsh sigma+mesh (CG shift-invert)")
+            res = _check_true_residuals(res, op, "eigsh sigma+mesh (CG/MINRES shift-invert)", tol)
             return _maybe_refine_hermitian(res, coo, refine)
         from ..parallel.distributed import DistributedThickRestartLanczosEigenSolver
 
@@ -329,7 +330,7 @@ def eigsh(
         nonzero = np.abs(theta) > 0
         lam_all = np.where(nonzero, float(np.real(sigma)) + 1.0 / np.where(nonzero, theta, 1.0), np.inf)
         res = _select_nearest_sigma(res, lam_all, sigma, k)
-        res = _check_true_residuals(res, op, "eigsh sigma (GMRES shift-invert)")
+        res = _check_true_residuals(res, op, "eigsh sigma (MINRES shift-invert)", tol)
         return _maybe_refine_hermitian(res, coo, refine)
 
     indices, n_track, lm_post = _which_indices(which, k)
@@ -582,8 +583,8 @@ def eigs(
             res.eigenvalues = complex(sigma) + 1.0 / res.eigenvalues
             if res.eigenvectors is not None:
                 res.eigenvectors = res.eigenvectors[:n]
-            res = _check_true_residuals(res, op, "eigs sigma+mesh (GMRES shift-invert)")
-            return _maybe_refine_general(res, coo, refine)
+            res = _check_true_residuals(res, op, "eigs sigma+mesh (GMRES shift-invert)", tol)
+            return _maybe_refine_general(res, coo, refine, which, sigma)
         from ..parallel.distributed import DistributedKrylovSchurArnoldiSolver
 
         bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
@@ -599,7 +600,7 @@ def eigs(
         ).compute()
         if res.eigenvectors is not None and res.eigenvectors.shape[0] != n:
             res.eigenvectors = res.eigenvectors[:n]
-        return _maybe_refine_general(res, coo, refine)
+        return _maybe_refine_general(res, coo, refine, which)
 
     if sigma is not None:
         if inner_tol is None:
@@ -618,8 +619,8 @@ def eigs(
         # θ already which-ordered by the solver (scipy: which applies to
         # the transformed spectrum θ = 1/(λ−σ)); back-transform in place
         res.eigenvalues = complex(sigma) + 1.0 / res.eigenvalues
-        res = _check_true_residuals(res, op, "eigs sigma (GMRES shift-invert)")
-        return _maybe_refine_general(res, coo, refine)
+        res = _check_true_residuals(res, op, "eigs sigma (GMRES shift-invert)", tol)
+        return _maybe_refine_general(res, coo, refine, which, sigma)
     res = KrylovSchurArnoldiSolver(
         op,
         KrylovSchurOptions(
@@ -630,7 +631,11 @@ def eigs(
     return _maybe_refine_general(res, coo, refine, which)
 
 
-def _maybe_refine_general(res, coo, refine, which: str | None = None):
+def _maybe_refine_general(res, coo, refine, which: str | None = None, sigma=None):
+    """Refinement must not discard the route's ordering semantics: on
+    the sigma paths ``which`` applies to θ = 1/(λ−σ) (scipy), so the
+    refined pairs are re-sorted by the same transformed key — defaulting
+    to LM on λ would silently reorder a nearest-σ result (ADVICE r3)."""
     if not refine:
         return res
     if coo is None:
@@ -644,20 +649,25 @@ def _maybe_refine_general(res, coo, refine, which: str | None = None):
     lam, X, _ = general_inverse_iteration_refine(
         coo, np.asarray(res.eigenvectors), np.asarray(res.eigenvalues), iters=iters
     )
-    order = np.argsort(_which_key(lam, which or "LM"), kind="stable")
+    if sigma is not None:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key_vals = 1.0 / (lam - complex(sigma))
+    else:
+        key_vals = lam
+    order = np.argsort(_which_key(key_vals, which or "LM"), kind="stable")
     res.eigenvalues = lam[order]
     res.eigenvectors = X[:, order]
     return res
 
 
-def _check_true_residuals(res, op, label: str):
+def _check_true_residuals(res, op, label: str, user_tol: float | None = None):
     """Post-hoc honesty check for the shift-invert routes: measure the
     true eigenpair residuals ‖A v − λ v‖ on the ORIGINAL operator.
 
     A silently failed inner solve (CG on an indefinite shift, stagnated
     restarted GMRES) makes the outer iteration converge cleanly to
     eigenpairs of the wrong operator; the residual on A is the only
-    signal.  The solvers now carry CGLS fallbacks that should prevent
+    signal.  The solvers now carry MINRES/CGLS fallbacks that should prevent
     this, but the check is cheap (k matvecs) and turns any remaining
     failure into ``converged=False`` + an ERROR trace instead of wrong
     numbers."""
@@ -685,7 +695,12 @@ def _check_true_residuals(res, op, label: str):
     )
     scale = max(float(np.max(np.abs(lam))), 1.0)
     rel = float(np.max(resid)) / scale
+    # honor a LOOSER user-requested tolerance: a run legitimately
+    # converged to tol=1e-3 must not be flagged as an inner-solve
+    # failure by the dtype floor (ADVICE r3)
     threshold = max(1e-6, 100.0 * default_tolerance(op.dtype))
+    if user_tol is not None:
+        threshold = max(threshold, 100.0 * float(user_tol))
     res.trace.log(
         Severity.INFO, f"{label}: max true eigenpair residual {rel:.3e} (relative)"
     )
