@@ -220,6 +220,48 @@ def eigsh(
             m = min(max_subspace or max(4 * k + 16, 32), n)
             kk = min(k, m // 2 - 1) if m // 2 - 1 > 0 else k
             both_ends = tuple(range(kk)) + tuple(range(-kk, 0))
+            if len(mesh.axis_names) >= 2:
+                # 2-axis mesh: MINRES shift-invert over the R x C panel-
+                # grid operator under the single-controller Lanczos (the
+                # eigsh 2-axis pattern) — not a silent axis-0 decomposition
+                from ..parallel.distributed import (
+                    _padding_safe_v0,
+                    mesh_operator_2d,
+                    pad_bsr_for_mesh,
+                )
+                from .cg import shift_invert_operator as _si_h
+
+                nrc = mesh.shape[mesh.axis_names[0]] * mesh.shape[mesh.axis_names[1]]
+                padded = pad_bsr_for_mesh(bsr_op, nrc)
+                op2 = mesh_operator_2d(padded, mesh)
+                si2 = _si_h(
+                    op2, sigma, tol=inner_tol, solver="minres",
+                    max_iters=min(4 * n, 10000),
+                )
+                solver = LanczosEigenSolver(
+                    si2,
+                    LanczosOptions(
+                        max_eigenvalues=2 * kk, eigenvalue_indices=both_ends,
+                        tolerance=tol, max_subspace=m, seed=seed,
+                    ),
+                )
+                if padded.shape[0] != n:
+                    solver.set_initial_vector(
+                        _padding_safe_v0(n, padded.shape[0], op2.dtype, seed)
+                    )
+                res = solver.compute()
+                if res.eigenvectors is not None and res.eigenvectors.shape[0] != n:
+                    res.eigenvectors = res.eigenvectors[:n]
+                theta = np.asarray(res.eigenvalues)
+                nz = np.abs(theta) > 0
+                lam_all = np.where(
+                    nz, float(np.real(sigma)) + 1.0 / np.where(nz, theta, 1.0), np.inf
+                )
+                res = _select_nearest_sigma(res, lam_all, sigma, k)
+                res = _check_true_residuals(
+                    res, op, "eigsh sigma+mesh 2d (MINRES shift-invert)", tol
+                )
+                return _maybe_refine_hermitian(res, coo, refine)
             res = DistributedShiftInvertLanczosEigenSolver(
                 bsr_op,
                 mesh,
@@ -521,6 +563,8 @@ def eigs(
     matvec_mode: str = "allgather",
     block_shape: tuple[int, int] | None = None,
     refine: bool | int = False,
+    v0=None,
+    accelerate: bool = False,
 ):
     """k eigenpairs of a general operator, selected by ``which``.
 
@@ -534,7 +578,39 @@ def eigs(
     the outer tolerance).  refine: with a COOMatrix operand, polish the
     returned pairs with f64 complex inverse iteration
     (:func:`~eigenex_tpu.solvers.refine.general_inverse_iteration_refine`).
+    v0: initial Krylov vector (scipy parity; original-space for
+    accelerated operands).  accelerate: repack a REAL scalar-sparse
+    operand through the RCM + block pipeline
+    (:func:`eigenex_tpu.sparse.accelerate.accelerate`) and solve in
+    permuted space (complex general operators: use
+    :func:`eigenex_tpu.sparse.realify.eigs_realified`).
     """
+    from ..sparse.accelerate import AcceleratedOperator
+    from ..sparse.coo import COOMatrix as _COO
+
+    orig_operand = A
+    if accelerate and not isinstance(A, AcceleratedOperator):
+        if mesh is not None:
+            raise EigenexError(
+                "accelerate=True cannot combine with mesh= (repack to "
+                "BSRMatrix manually for the mesh drivers)"
+            )
+        from ..sparse.accelerate import accelerate as _accelerate_fn
+
+        A = _accelerate_fn(A)
+    if isinstance(A, AcceleratedOperator):
+        if A.complexified:
+            raise EigenexError(
+                "eigs(accelerate=True) supports real operators; for complex "
+                "general operators use eigenex_tpu.sparse.realify.eigs_realified"
+            )
+        return _eigs_accelerated(
+            A, k, which=which, sigma=sigma, tol=tol, max_subspace=max_subspace,
+            max_restarts=max_restarts, seed=seed, inner_tol=inner_tol,
+            refine=refine, v0=v0,
+            coo=orig_operand if isinstance(orig_operand, _COO) else None,
+        )
+
     op, coo, bsr = _resolve_operand(A)
     n = op.shape[0]
     if op.shape[0] != op.shape[1]:
@@ -546,6 +622,11 @@ def eigs(
     m = min(max_subspace or max(4 * k + 24, 48), n)
 
     if mesh is not None:
+        if v0 is not None:
+            raise EigenexError(
+                "v0= is not supported with mesh= (the drivers build "
+                "padding-safe starts)"
+            )
         if sigma is not None:
             # Distributed GMRES shift-invert: the mesh operator makes
             # (A − σI)⁻¹-via-GMRES a global-array operator whose every
@@ -561,8 +642,17 @@ def eigs(
                 inner_tol = max(outer * 1e-2, 1e-14)
             bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
             axis = mesh.axis_names[0]
-            padded = pad_bsr_for_mesh(bsr_op, mesh.shape[axis])
-            mop = mesh_operator(padded, mesh, axis_name=axis, matvec_mode=matvec_mode)
+            if len(mesh.axis_names) >= 2:
+                # 2-axis mesh: R x C panel-grid operator (n/C + n/R wire
+                # per matvec) instead of silently decomposing over axis 0
+                from ..parallel.distributed import mesh_operator_2d
+
+                nrc = mesh.shape[axis] * mesh.shape[mesh.axis_names[1]]
+                padded = pad_bsr_for_mesh(bsr_op, nrc)
+                mop = mesh_operator_2d(padded, mesh)
+            else:
+                padded = pad_bsr_for_mesh(bsr_op, mesh.shape[axis])
+                mop = mesh_operator(padded, mesh, axis_name=axis, matvec_mode=matvec_mode)
             si = shift_invert_operator_general(mop, sigma, tol=inner_tol)
             solver = KrylovSchurArnoldiSolver(
                 si,
@@ -585,19 +675,44 @@ def eigs(
                 res.eigenvectors = res.eigenvectors[:n]
             res = _check_true_residuals(res, op, "eigs sigma+mesh (GMRES shift-invert)", tol)
             return _maybe_refine_general(res, coo, refine, which, sigma)
-        from ..parallel.distributed import DistributedKrylovSchurArnoldiSolver
-
         bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
-        res = DistributedKrylovSchurArnoldiSolver(
-            bsr_op,
-            mesh,
-            KrylovSchurOptions(
-                max_eigenvalues=k, tolerance=tol, max_subspace=m,
-                max_restarts=max_restarts, seed=seed, which=which,
-            ),
-            axis_name=mesh.axis_names[0],
-            matvec_mode=matvec_mode,
-        ).compute()
+        if len(mesh.axis_names) >= 2:
+            # 2-axis mesh: single-controller Krylov-Schur over the R x C
+            # panel-grid operator (the eigsh 2-axis pattern)
+            from ..parallel.distributed import (
+                _padding_safe_v0,
+                mesh_operator_2d,
+                pad_bsr_for_mesh,
+            )
+
+            nrc = mesh.shape[mesh.axis_names[0]] * mesh.shape[mesh.axis_names[1]]
+            padded = pad_bsr_for_mesh(bsr_op, nrc)
+            op2 = mesh_operator_2d(padded, mesh)
+            solver = KrylovSchurArnoldiSolver(
+                op2,
+                KrylovSchurOptions(
+                    max_eigenvalues=k, tolerance=tol, max_subspace=m,
+                    max_restarts=max_restarts, seed=seed, which=which,
+                ),
+            )
+            if padded.shape[0] != n:
+                solver.set_initial_vector(
+                    _padding_safe_v0(n, padded.shape[0], op2.dtype, seed)
+                )
+            res = solver.compute()
+        else:
+            from ..parallel.distributed import DistributedKrylovSchurArnoldiSolver
+
+            res = DistributedKrylovSchurArnoldiSolver(
+                bsr_op,
+                mesh,
+                KrylovSchurOptions(
+                    max_eigenvalues=k, tolerance=tol, max_subspace=m,
+                    max_restarts=max_restarts, seed=seed, which=which,
+                ),
+                axis_name=mesh.axis_names[0],
+                matvec_mode=matvec_mode,
+            ).compute()
         if res.eigenvectors is not None and res.eigenvectors.shape[0] != n:
             res.eigenvectors = res.eigenvectors[:n]
         return _maybe_refine_general(res, coo, refine, which)
@@ -609,25 +724,31 @@ def eigs(
             outer = tol if tol is not None else default_tolerance(op.dtype)
             inner_tol = max(outer * 1e-2, 1e-14)
         si = shift_invert_operator_general(op, sigma, tol=inner_tol)
-        res = KrylovSchurArnoldiSolver(
+        ks = KrylovSchurArnoldiSolver(
             si,
             KrylovSchurOptions(
                 max_eigenvalues=k, tolerance=tol, max_subspace=m,
                 max_restarts=max_restarts, seed=seed, which=which,
             ),
-        ).compute()
+        )
+        if v0 is not None:
+            ks.set_initial_vector(v0)
+        res = ks.compute()
         # θ already which-ordered by the solver (scipy: which applies to
         # the transformed spectrum θ = 1/(λ−σ)); back-transform in place
         res.eigenvalues = complex(sigma) + 1.0 / res.eigenvalues
         res = _check_true_residuals(res, op, "eigs sigma (GMRES shift-invert)", tol)
         return _maybe_refine_general(res, coo, refine, which, sigma)
-    res = KrylovSchurArnoldiSolver(
+    ks = KrylovSchurArnoldiSolver(
         op,
         KrylovSchurOptions(
             max_eigenvalues=k, tolerance=tol, max_subspace=m,
             max_restarts=max_restarts, seed=seed, which=which,
         ),
-    ).compute()
+    )
+    if v0 is not None:
+        ks.set_initial_vector(v0)
+    res = ks.compute()
     return _maybe_refine_general(res, coo, refine, which)
 
 
@@ -657,6 +778,33 @@ def _maybe_refine_general(res, coo, refine, which: str | None = None, sigma=None
     order = np.argsort(_which_key(key_vals, which or "LM"), kind="stable")
     res.eigenvalues = lam[order]
     res.eigenvectors = X[:, order]
+    return res
+
+
+def _eigs_accelerated(
+    acc, k, *, which, sigma, tol, max_subspace, max_restarts, seed, inner_tol,
+    refine, v0, coo,
+):
+    """eigs driver for a (real) :class:`AcceleratedOperator`: solve over
+    the permuted+padded block container with a padding-safe start,
+    restore eigenvectors to original coordinates."""
+    from ..parallel.distributed import _padding_safe_v0
+
+    if v0 is not None:
+        v0e = acc.embed(np.asarray(v0))
+    else:
+        v0e = _padding_safe_v0(
+            acc.n_work, acc.shape[0], acc.as_linear_operator().dtype, seed
+        )
+    res = eigs(
+        acc.matrix, k, which=which, sigma=sigma, tol=tol,
+        max_subspace=max_subspace, max_restarts=max_restarts, seed=seed,
+        inner_tol=inner_tol, v0=v0e,
+    )
+    if res.eigenvectors is not None:
+        res.eigenvectors = acc.restore(np.asarray(res.eigenvectors))
+    if refine:
+        return _maybe_refine_general(res, coo, refine, which, sigma)
     return res
 
 
@@ -773,6 +921,14 @@ def svds(
         )
 
         bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
+        if len(mesh.axis_names) >= 2:
+            # the Gram pipeline is two RECTANGULAR 1-D row-partitioned
+            # matvecs (A then A^H) — a panel grid needs square operands,
+            # so a multi-axis mesh is FLATTENED over all its devices
+            # rather than silently decomposing over axis 0
+            from jax.sharding import Mesh as _Mesh
+
+            mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
         axis = mesh.axis_names[0]
         padded = pad_bsr_rect(bsr_op, mesh.shape[axis])
         padH = padded.adjoint()

@@ -152,7 +152,18 @@ def _bf16_lossless(values: np.ndarray) -> bool:
     return bool(np.array_equal(v32.astype(ml_dtypes.bfloat16).astype(np.float32), v32))
 
 
-def _pack_symmetric(r, c, v, n_pad, block, use_native):
+def _host_cast(a: np.ndarray, dtype):
+    """Cast packed block data ON HOST before the device put — uploading
+    f32 and casting on device would transiently hold BOTH copies in HBM
+    (measured: the 8.4 GiB bf16 L=24 Heisenberg operator OOMed a 16 GB
+    chip because its 16.7 GiB f32 precursor was device-resident)."""
+    import ml_dtypes
+
+    np_dtype = np.dtype(jnp.dtype(dtype).name) if jnp.dtype(dtype) != jnp.bfloat16 else ml_dtypes.bfloat16
+    return jnp.asarray(np.asarray(a).astype(np_dtype))
+
+
+def _pack_symmetric(r, c, v, n_pad, block, use_native, dtype):
     nbr = n_pad // block
     if use_native:
         from .. import native
@@ -162,14 +173,15 @@ def _pack_symmetric(r, c, v, n_pad, block, use_native):
             r, c, v.astype(np.float64), order, nbr, block, ku
         )
         return SymBSRMatrix(
-            jnp.asarray(diag), jnp.asarray(upper), jnp.asarray(ucols),
+            _host_cast(diag, dtype), _host_cast(upper, dtype), jnp.asarray(ucols),
             (n_pad, n_pad), int(reach),
         )
     bsr = bsr_from_coo_arrays(r, c, v.astype(np.float32), (n_pad, n_pad), (block, block))
-    return sym_bsr_from_bsr(bsr)
+    sym = sym_bsr_from_bsr(bsr)
+    return sym.astype(dtype) if sym.dtype != jnp.dtype(dtype) else sym
 
 
-def _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native):
+def _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native, dtype):
     nbr, nbc = m_pad // bm, n_pad // bn
     if use_native:
         from .. import native
@@ -178,8 +190,9 @@ def _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native):
         data, bcols = native.bsr_pack_f32(
             r, c, v.astype(np.float64), order, nbr, nbc, bm, bn, kmax
         )
-        return BSRMatrix(jnp.asarray(data), jnp.asarray(bcols), (m_pad, n_pad))
-    return bsr_from_coo_arrays(r, c, v.astype(np.float32), (m_pad, n_pad), (bm, bn))
+        return BSRMatrix(_host_cast(data, dtype), jnp.asarray(bcols), (m_pad, n_pad))
+    bsr = bsr_from_coo_arrays(r, c, v.astype(np.float32), (m_pad, n_pad), (bm, bn))
+    return bsr.astype(dtype) if bsr.dtype != jnp.dtype(dtype) else bsr
 
 
 @dataclasses.dataclass(frozen=True)
@@ -340,10 +353,15 @@ def accelerate(
     from .. import native
 
     use_native = native.native_available() and np.isrealobj(v)
+    nnz = len(v)
+    if dtype == "auto":
+        target = jnp.bfloat16 if _bf16_lossless(v) else jnp.float32
+    else:
+        target = dtype
 
     if symmetric:
         n_pad = -(-n_work // block) * block
-        mat = _pack_symmetric(r, c, v, n_pad, block, use_native)
+        mat = _pack_symmetric(r, c, v, n_pad, block, use_native, target)
         slots = mat.diag_data.size + mat.upper_data.size
         applied = mat.diag_data.size + 2 * mat.upper_data.size
         widths = dict(ku=mat.upper_cols.shape[1], band_reach=mat.band_reach)
@@ -356,18 +374,10 @@ def accelerate(
         else:
             m_pad = -(-work_shape[0] // bm) * bm
             n_pad = -(-work_shape[1] // bn) * bn
-        mat = _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native)
+        mat = _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native, target)
         slots = mat.data.size
         applied = slots
         widths = dict(kmax=mat.k_max)
-
-    nnz = len(v)
-    if dtype == "auto":
-        target = jnp.bfloat16 if _bf16_lossless(v) else jnp.float32
-    else:
-        target = dtype
-    if target != mat.dtype:
-        mat = mat.astype(target)
 
     itemsize = jnp.dtype(target).itemsize
     stats = dict(

@@ -282,3 +282,49 @@ class TestEigshAccelerate:
         ref = np.sort(np.linalg.eigvalsh(coo_sp.toarray()))[:2]
         res = eigsh(coo, k=2, which="SA", accelerate=True, refine=True, tol=1e-8)
         assert np.abs(np.asarray(res.eigenvalues) - ref).max() < 1e-9
+
+
+class TestEigsAccelerate:
+    """eigs(..., accelerate=True) — the general-operator front-end route."""
+
+    def test_real_general_matches_plain(self):
+        from eigenex_tpu.solvers.api import eigs
+
+        n = 200
+        m = sp.random(n, n, density=0.04, random_state=51).tocoo()
+        dense = m.toarray()
+        lam_ref = np.linalg.eigvals(dense)
+        lam_ref = lam_ref[np.argsort(-np.abs(lam_ref))][:2]
+        res = eigs((m.row, m.col, m.data, m.shape), k=2, tol=1e-10, accelerate=True)
+        lam = np.asarray(res.eigenvalues)
+        assert res.eigenvectors.shape[0] == n
+        # k can cut into a conjugate pair whose member choice is
+        # arbitrary — compare conjugation-insensitively
+        key = lambda a: np.sort_complex(a.real + 1j * np.abs(a.imag))
+        np.testing.assert_allclose(key(lam), key(lam_ref), atol=2e-5)
+        for j in range(2):
+            z = res.eigenvectors[:, j]
+            z = z / np.linalg.norm(z)
+            assert np.linalg.norm(dense @ z - lam[j] * z) < 1e-4
+
+    def test_complex_general_redirects(self):
+        from eigenex_tpu.solvers.api import eigs
+
+        n = 40
+        m = sp.random(n, n, density=0.1, random_state=3).tocoo()
+        vals = m.data + 1j * m.data
+        with pytest.raises(EigenexError, match="eigs_realified"):
+            eigs((m.row, m.col, vals, m.shape), k=2, accelerate=True)
+
+    def test_eigs_v0_plain_route(self):
+        from eigenex_tpu.solvers.api import eigs
+
+        n = 60
+        m = sp.random(n, n, density=0.08, random_state=9).tocoo()
+        dense = np.asarray(m.toarray())
+        lam_ref = np.linalg.eigvals(dense)
+        lam_ref = np.sort_complex(lam_ref[np.argsort(-np.abs(lam_ref))][:2])
+        v0 = np.random.default_rng(1).standard_normal(n)
+        res = eigs(dense, k=2, tol=1e-12, v0=v0)
+        key = lambda a: np.sort_complex(a.real + 1j * np.abs(a.imag))
+        np.testing.assert_allclose(key(np.asarray(res.eigenvalues)), key(lam_ref), atol=1e-8)

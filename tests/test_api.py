@@ -481,3 +481,96 @@ def test_eigsh_sigma_mesh_interior_indefinite():
         v = np.asarray(res.eigenvectors[:, j])
         r = np.linalg.norm(A @ v - res.eigenvalues[j] * v)
         assert r < 1e-6, f"pair {j} residual {r:.2e}"
+
+
+class Test2AxisMeshParity:
+    """Every mesh-accepting front end must route a 2-axis mesh through the
+    panel-grid operator (or an explicit flatten) — never a silent axis-0
+    decomposition (round-3 verdict weak item 4)."""
+
+    @pytest.fixture
+    def mesh2(self):
+        import jax
+        from jax.sharding import Mesh
+
+        dev = np.array(jax.devices("cpu")[:8]).reshape(2, 4)
+        return Mesh(dev, ("r", "c"))
+
+    def _sym_coo(self, n, seed):
+        import scipy.sparse as sp
+
+        m = sp.random(n, n, density=0.05, random_state=seed)
+        m = (m + m.T + sp.eye(n) * 2).tocoo()
+        return m
+
+    def test_eigs_2axis_matches_single(self, mesh2):
+        import scipy.sparse as sp
+
+        from eigenex_tpu.solvers.api import eigs
+        from eigenex_tpu.sparse.coo import COOBuilder
+
+        n = 96
+        m = sp.random(n, n, density=0.06, random_state=3).tocoo()
+        b = COOBuilder(n, n)
+        b.extend(m.row, m.col, m.data)
+        coo = b.build()
+        r_single = eigs(coo, k=2, tol=1e-12, seed=1)
+        r_mesh = eigs(coo, k=2, tol=1e-12, seed=1, mesh=mesh2)
+        lam_s = np.sort_complex(np.asarray(r_single.eigenvalues))
+        lam_m = np.sort_complex(np.asarray(r_mesh.eigenvalues))
+        np.testing.assert_allclose(lam_m, lam_s, atol=1e-10)
+        assert r_mesh.eigenvectors.shape[0] == n
+
+    def test_eigs_sigma_2axis_matches_single(self, mesh2):
+        from eigenex_tpu.solvers.api import eigs
+        from eigenex_tpu.sparse.coo import COOBuilder
+
+        n = 80
+        m = self._sym_coo(n, 5)
+        b = COOBuilder(n, n)
+        b.extend(m.row, m.col, m.data)
+        coo = b.build()
+        dense = m.toarray()
+        evals = np.sort(np.linalg.eigvals(dense).real)
+        target = float((evals[10] + evals[11]) / 2)
+        r_single = eigs(coo, k=2, sigma=target, tol=1e-10, seed=1)
+        r_mesh = eigs(coo, k=2, sigma=target, tol=1e-10, seed=1, mesh=mesh2)
+        lam_s = np.sort(np.asarray(r_single.eigenvalues).real)
+        lam_m = np.sort(np.asarray(r_mesh.eigenvalues).real)
+        np.testing.assert_allclose(lam_m, lam_s, atol=1e-8)
+
+    def test_eigsh_sigma_2axis_matches_single(self, mesh2):
+        from eigenex_tpu.solvers.api import eigsh
+        from eigenex_tpu.sparse.coo import COOBuilder
+
+        n = 80
+        m = self._sym_coo(n, 7)
+        b = COOBuilder(n, n)
+        b.extend(m.row, m.col, m.data)
+        coo = b.build()
+        evals = np.sort(np.linalg.eigvalsh(m.toarray()))
+        target = float((evals[8] + evals[9]) / 2)
+        r_single = eigsh(coo, k=2, sigma=target, tol=1e-10, seed=1)
+        r_mesh = eigsh(coo, k=2, sigma=target, tol=1e-10, seed=1, mesh=mesh2)
+        lam_s = np.asarray(r_single.eigenvalues)
+        lam_m = np.asarray(r_mesh.eigenvalues)
+        np.testing.assert_allclose(lam_m, lam_s, atol=1e-8)
+        want = np.sort(evals[np.argsort(np.abs(evals - target))[:2]])
+        np.testing.assert_allclose(lam_m, want, atol=1e-6)
+
+    def test_svds_2axis_matches_single(self, mesh2):
+        import scipy.sparse as sp
+
+        from eigenex_tpu.solvers.api import svds
+        from eigenex_tpu.sparse.coo import COOBuilder
+
+        m = sp.random(72, 48, density=0.1, random_state=11).tocoo()
+        b = COOBuilder(72, 48)
+        b.extend(m.row, m.col, m.data)
+        coo = b.build()
+        s_ref = np.linalg.svd(m.toarray(), compute_uv=False)[:3]
+        _, s_single, _ = svds(coo, k=3, tol=1e-12, seed=1)
+        U, s_mesh, Vh = svds(coo, k=3, tol=1e-12, seed=1, mesh=mesh2)
+        np.testing.assert_allclose(s_mesh, s_single, atol=1e-10)
+        np.testing.assert_allclose(s_mesh, s_ref, atol=1e-8)
+        assert U.shape == (72, 3) and Vh.shape == (3, 48)

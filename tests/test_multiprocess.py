@@ -1,0 +1,113 @@
+"""REAL multi-process jax.distributed execution (SURVEY.md §5, the one
+comm-backend item still marked partial after round 3: ``initialize_multihost``
+had argument-contract tests but had never actually executed).
+
+Spawns 2 OS processes, each with 2 virtual CPU devices, joined through a
+localhost coordinator by ``initialize_multihost``; runs
+``distributed_lanczos_steps`` with the operator row-partitioned across
+the process boundary, and asserts the replicated Lanczos recurrence
+(alpha, beta) is BIT-EQUAL across the participating processes and
+ulp-equal to the single-process 4-virtual-device run of the same
+program (the cross-process psum rides a different reduction tree, so
+cross-TOPOLOGY bitwise identity is not a valid contract) — the
+determinism checks that replace race detection (SURVEY.md §4e/§5).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+_WORKER = Path(__file__).parent / "_multiproc_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_multiprocess_lanczos_bitwise_matches_single_process(tmp_path):
+    nproc = 2
+    coord = f"127.0.0.1:{_free_port()}"
+    out = tmp_path / "state"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the worker sets its own
+    # fully disarm the axon TPU plugin in the helpers: its sitecustomize
+    # registers (and dials the single tunnel) whenever this var is set
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    if "PYTHONPATH" in env:
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env["PYTHONPATH"].split(os.pathsep) if ".axon_site" not in p
+        )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(_WORKER), coord, str(nproc), str(pid), str(out)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            so, se = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, so.decode(), se.decode()))
+    for rc, so, se in outs:
+        assert rc == 0, f"worker failed (rc={rc}):\n{so}\n{se[-3000:]}"
+
+    results = [json.load(open(f"{out}.{pid}")) for pid in range(nproc)]
+    for res in results:
+        assert res["process_count"] == nproc
+        assert res["n_global_devices"] == 2 * nproc
+        assert res["n_local_devices"] == 2
+        assert res["k"] == 12
+
+    # every process must agree exactly (replicated outputs)
+    a0, b0 = np.array(results[0]["alpha"]), np.array(results[0]["beta"])
+    for res in results[1:]:
+        np.testing.assert_array_equal(a0, np.array(res["alpha"]))
+        np.testing.assert_array_equal(b0, np.array(res["beta"]))
+
+    # single-process reference on a 4-device CPU mesh: the same program,
+    # same shard count — the recurrence must match bitwise
+    from jax.sharding import Mesh
+
+    from eigenex_tpu.parallel.distributed import (
+        distributed_lanczos_steps,
+        pad_bsr_for_mesh,
+    )
+    from eigenex_tpu.solvers.lanczos import init_lanczos_state
+    from eigenex_tpu.sparse.bsr import bsr_from_coo_arrays
+
+    n = 64
+    r = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    c = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    v = np.concatenate([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)])
+    bsr = pad_bsr_for_mesh(bsr_from_coo_arrays(r, c, v, (n, n), (4, 4)), 4)
+    op = bsr.as_linear_operator(use_pallas=False)
+    v0 = np.random.default_rng(2).standard_normal(bsr.shape[1])
+    s0 = init_lanczos_state(op, 20, v0=v0)
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("rows",))
+    s_ref = distributed_lanczos_steps(bsr, s0, 12, mesh)
+
+    # across topologies the recurrence is numerically equivalent but not
+    # bitwise: the 2-process psum runs gloo's cross-host reduction tree,
+    # whose summation order differs from the single-process all-reduce
+    # (measured delta: 1-2 ulps on 3 of 12 alphas).  Bit-equality is
+    # asserted WITHIN a topology (every process above); across
+    # topologies the contract is ulp-level agreement.
+    np.testing.assert_allclose(a0[:12], np.asarray(s_ref.alpha)[:12], rtol=1e-14)
+    np.testing.assert_allclose(b0[:13], np.asarray(s_ref.beta)[:13], rtol=1e-14)
