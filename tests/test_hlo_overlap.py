@@ -33,10 +33,16 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from eigenex_tpu.parallel.distributed import (
+    _local_colsplit_matvec,
+    _local_grid2d_matvec,
+    halo_matmat,
     halo_matvec,
     pad_bsr_for_mesh,
+    split_bsr_colpanels,
+    split_bsr_grid,
     split_bsr_halo,
     split_sym_bsr_halo,
+    sym_halo_matmat,
     sym_halo_matvec,
 )
 
@@ -91,7 +97,38 @@ def transitive_operands(ops, start_name):
 
 
 def _compile_virtual8(mode: str) -> str:
+    if mode == "grid2d":
+        mesh = Mesh(np.array(jax.devices("cpu")[:8]).reshape(2, 4), ("r", "c"))
+        bsr = pad_bsr_for_mesh(banded_bsr(16, 8), 8)
+        pd, pc = split_bsr_grid(bsr, 2, 4)
+        fn = shard_map(
+            partial(_local_grid2d_matvec, row_axis="r", col_axis="c", bn=8),
+            mesh=mesh,
+            in_specs=((P(("r", "c")), P(("r", "c"))), P(("c", "r"))),
+            out_specs=P(("r", "c")),
+        )
+        return (
+            jax.jit(fn)
+            .lower((pd, pc), jnp.ones((bsr.shape[0],), jnp.float32))
+            .compile()
+            .as_text()
+        )
     mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("rows",))
+    if mode == "colsplit":
+        bsr = pad_bsr_for_mesh(banded_bsr(16, 8), 8)
+        pd, pc = split_bsr_colpanels(bsr, 8)
+        fn = shard_map(
+            partial(_local_colsplit_matvec, axis_name="rows", bn=8),
+            mesh=mesh,
+            in_specs=((P("rows"), P("rows")), P("rows")),
+            out_specs=P("rows"),
+        )
+        return (
+            jax.jit(fn)
+            .lower((pd, pc), jnp.ones((bsr.shape[0],), jnp.float32))
+            .compile()
+            .as_text()
+        )
     if mode == "halo":
         bsr = pad_bsr_for_mesh(banded_bsr(16, 8), 8)
         d, l, r = split_bsr_halo(bsr, 8)
@@ -102,6 +139,29 @@ def _compile_virtual8(mode: str) -> str:
             out_specs=P("rows"),
         )
         args = (d[0], d[1], l[0], l[1], r[0], r[1], jnp.ones((bsr.shape[0],), jnp.float32))
+    elif mode == "halo_matmat":
+        bsr = pad_bsr_for_mesh(banded_bsr(16, 8), 8)
+        d, l, r = split_bsr_halo(bsr, 8)
+        fn = shard_map(
+            partial(halo_matmat, axis_name="rows", bn=8),
+            mesh=mesh,
+            in_specs=(P("rows"),) * 6 + (P("rows", None),),
+            out_specs=P("rows", None),
+        )
+        args = (
+            d[0], d[1], l[0], l[1], r[0], r[1],
+            jnp.ones((bsr.shape[0], 8), jnp.float32),
+        )
+    elif mode == "sym_halo_matmat":
+        sym = sym_bsr_from_bsr(pad_bsr_for_mesh(sym_banded_bsr(16, 8), 8))
+        dg, inp, rt = split_sym_bsr_halo(sym, 8)
+        fn = shard_map(
+            partial(sym_halo_matmat, axis_name="rows", bn=8),
+            mesh=mesh,
+            in_specs=(P("rows"),) * 5 + (P("rows", None),),
+            out_specs=P("rows", None),
+        )
+        args = (dg, inp[0], inp[1], rt[0], rt[1], jnp.ones((sym.shape[0], 8), jnp.float32))
     else:
         sym = sym_bsr_from_bsr(pad_bsr_for_mesh(sym_banded_bsr(16, 8), 8))
         dg, inp, rt = split_sym_bsr_halo(sym, 8)
@@ -115,15 +175,25 @@ def _compile_virtual8(mode: str) -> str:
     return jax.jit(fn).lower(*args).compile().as_text()
 
 
+_SCOPES = {
+    "halo": "halo_diag_spmv",
+    "sym_halo": "sym_halo_local_spmv",
+    "halo_matmat": "halo_diag_spmm",
+    "sym_halo_matmat": "sym_halo_local_spmm",
+}
+
+
 def _diag_scope(mode):
-    return "halo_diag_spmv" if mode == "halo" else "sym_halo_local_spmv"
+    return _SCOPES[mode]
 
 
 class TestGraphIndependence:
     """The diag compute must not depend on the halo collectives (any
     backend's optimized HLO — run here on the virtual-8 CPU mesh)."""
 
-    @pytest.mark.parametrize("mode", ["halo", "sym_halo"])
+    @pytest.mark.parametrize(
+        "mode", ["halo", "sym_halo", "halo_matmat", "sym_halo_matmat"]
+    )
     def test_diag_compute_independent_of_ppermute(self, mode):
         txt = _compile_virtual8(mode)
         ops = parse_entry_ops(txt)
@@ -151,7 +221,9 @@ class TestTPUSchedule:
     """Deviceless v5e 2x4 AOT compile: assert the actual post-scheduling
     order brackets the diag fusion with the start/done pair."""
 
-    @pytest.mark.parametrize("mode", ["halo", "sym_halo"])
+    @pytest.mark.parametrize(
+        "mode", ["halo", "sym_halo", "halo_matmat", "sym_halo_matmat"]
+    )
     def test_start_done_bracket_diag_fusion(self, mode):
         env = dict(os.environ)
         env["PALLAS_AXON_POOL_IPS"] = ""  # no axon registration: the
@@ -200,3 +272,95 @@ class TestTPUSchedule:
                 f"no block-data compute scheduled inside the transfer "
                 f"window [{s_i}, {d_i}] — that ppermute is not overlapped"
             )
+
+
+class TestSerialFloorModes:
+    """colsplit and the 2-D grid are gather/reduce collectives whose
+    dataflow SERIALIZES against the panel compute within one application
+    (partial y feeds psum_scatter; grid compute needs the gathered x).
+    The honest schedule claim is therefore structure, not overlap: the
+    optimized HLO must contain exactly the expected collectives wired
+    exactly that way — the measured serial floor recorded in BASELINE.md
+    (round-3 verdict weak item 5)."""
+
+    def test_colsplit_reduce_scatter_consumes_panel_dots(self):
+        txt = _compile_virtual8("colsplit")
+        ops = parse_entry_ops(txt)
+        rs = [n for n, op, _, ln in ops if op == "reduce-scatter" or "reduce-scatter" in ln]
+        assert rs, "colsplit compiled without a reduce-scatter"
+        dots = [n for n, op, _, _ in ops if op == "dot"]
+        assert dots, "no panel dot in the colsplit ENTRY"
+        deps = transitive_operands(ops, rs[0])
+        assert any(d in deps for d in dots), (
+            "the reduce-scatter does not consume the panel compute — "
+            "the colsplit wiring changed"
+        )
+        # and NO ppermute ring: this mode's only collective is the scatter
+        assert not any("collective-permute" in op for _, op, _, _ in ops)
+
+    def test_grid2d_gather_compute_scatter_chain(self):
+        txt = _compile_virtual8("grid2d")
+        ops = parse_entry_ops(txt)
+        ag = [n for n, op, _, ln in ops if op == "all-gather" or "all-gather" in ln]
+        rs = [n for n, op, _, ln in ops if op == "reduce-scatter" or "reduce-scatter" in ln]
+        assert ag, "grid2d compiled without the row-axis all-gather"
+        assert rs, "grid2d compiled without the col-axis reduce-scatter"
+        dots = [n for n, op, _, _ in ops if op == "dot"]
+        assert dots, "no panel dot in the grid2d ENTRY"
+        # chain: dots depend on the gather; the scatter depends on dots
+        gather_set = set(ag)
+        for d in dots:
+            assert transitive_operands(ops, d) & gather_set, (
+                f"panel dot %{d} does not consume the all-gathered x"
+            )
+        scatter_deps = transitive_operands(ops, rs[0])
+        assert any(d in scatter_deps for d in dots)
+
+
+@pytest.mark.tpu_aot
+class TestTPUScheduleSerialModes:
+    """v5e 2x4 AOT schedules of the gather/reduce modes: assert the
+    schedule shows the documented serial structure (collectives present,
+    compute between gather and scatter in program order)."""
+
+    def _dump(self, mode):
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "_aot_halo_dump.py"), mode],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=900,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        if proc.returncode == 3:
+            pytest.skip(f"deviceless TPU AOT unavailable: {proc.stdout.strip()}")
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return proc.stdout
+
+    def test_colsplit_schedule_floor(self):
+        # on this TPU compiler psum_scatter lowers to all-reduce +
+        # dynamic-slice, so the "scatter" to look for is either opcode
+        ops = parse_entry_ops(self._dump("colsplit"))
+        scat = [i for i, (n, op, _, _) in enumerate(ops)
+                if op.startswith(("reduce-scatter", "all-reduce"))]
+        dots = [i for i, (n, op, _, ln) in enumerate(ops)
+                if op in ("dot", "fusion") and "dot_general" in ln]
+        assert scat and dots
+        # serial floor: the reduction is scheduled after ALL panel compute
+        assert min(scat) > max(dots)
+
+    def test_grid2d_schedule_gather_before_compute_before_scatter(self):
+        ops = parse_entry_ops(self._dump("grid2d"))
+        ag = [i for i, (n, op, _, _) in enumerate(ops) if op.startswith("all-gather")]
+        scat = [i for i, (n, op, _, _) in enumerate(ops)
+                if op.startswith(("reduce-scatter", "all-reduce"))]
+        dots = [i for i, (n, op, _, ln) in enumerate(ops)
+                if op in ("dot", "fusion") and "dot_general" in ln]
+        assert ag and scat and dots
+        # gather precedes the first panel dot; the reduction follows the
+        # last one — the n/C + n/R serial wire per application (the
+        # DOCUMENTED floor; nothing to overlap within one matvec)
+        assert min(ag) < min(dots) <= max(dots) < max(scat)
