@@ -331,6 +331,152 @@ def _sym_stream_call(sym, x: jax.Array, strip: int, interpret: bool) -> jax.Arra
     return y.reshape(sym.shape[0])
 
 
+def _pick_ring_params(nbr: int, ku: int, bm: int, bn: int, itemsize: int, reach: int):
+    """(s, W) for the RING streaming kernel: strip length s dividing
+    ``nbr`` whose double-buffered block stream fits scoped VMEM alongside
+    the two (W, 128) f32 rings, W = (ceil(reach/s)+1)*s.  Returns (0, 0)
+    when nothing fits (reach too large for VMEM rings, or indivisible
+    nbr)."""
+    budget = 14 * 2**20
+    if reach < 1:
+        return 0, 0
+    for s in (32, 16, 8, 4):
+        if nbr % s:
+            continue
+        koff = -(-reach // s)
+        W = (koff + 1) * s
+        stream = 2 * s * ((1 + ku) * bm * bn * itemsize + bn * 4 + bm * 4)
+        rings = W * (bn + bm) * 4
+        if stream + rings <= budget:
+            return s, W
+    return 0, 0
+
+
+def _sym_spmv_ring_kernel(
+    ku: int, s: int, W: int, nstrips: int,
+    cols_ref, diag_ref, upper_ref, xt_ref, y_ref, xring_ref, yring_ref,
+):
+    """FAR-REACH streaming symmetric SpMV: the band reach exceeds any
+    VMEM-fitting strip (the strip kernel needs strip >= reach), so x and
+    the y accumulator travel in (W, 128) VMEM RING buffers with modular
+    addressing — ring row of global block row g is ``g % W``, where
+    W = (ceil(reach/s)+1)*s covers every upper block's column.
+
+    Grid runs ``nstrips + Koff`` programs: the first Koff are WARMUP
+    (compute masked) that prefill the x ring — program p ingests the
+    pipeline-streamed x tile for strip p (index map min(p, nstrips-1))
+    into ring slot (p*s) %% W, then programs p >= Koff compute strip
+    t = p - Koff.  Transpose contributions y[c] += Bᵀx[r] scatter into
+    the y ring at c %% W; rows of strip t are complete when program
+    t+Koff finishes (contributions only flow FORWARD), are copied to the
+    streamed out tile, and their ring rows are zeroed for reuse.  ELL
+    padding slots (col 0, zero blocks) alias ring row 0 and add zeros —
+    harmless.  VMEM is independent of n: stream tiles + two ~reach-row
+    rings (the L=24 Heisenberg sector, reach 485, needs ~0.5 MB of
+    rings where the resident kernel would need 21.6 MB of panels)."""
+    p = pl.program_id(0)
+    koff = W // s - 1
+
+    @pl.when(p == 0)
+    def _():
+        yring_ref[...] = jnp.zeros_like(yring_ref)
+
+    # ingest the streamed x tile (strip p) into its ring slot — every
+    # program, unconditionally: tail programs (p >= nstrips) re-ingest a
+    # clamped duplicate into a slot no remaining compute reads
+    slot = (p % (koff + 1)) * s
+    xring_ref[pl.ds(slot, s), :] = xt_ref[...]
+
+    @pl.when(p >= koff)
+    def _():
+        t = p - koff
+        base = t * s
+        start = (base % W)
+        prec = _dot_mode(diag_ref.dtype)
+        for j in range(s):
+            xr = xring_ref[pl.ds(start + j, 1), :]  # (1, bn)
+            D = diag_ref[j].astype(jnp.float32)
+            acc = _sdot(xr, D, ((1,), (1,)), prec)
+            for k in range(ku):
+                c = cols_ref[(base + j) * ku + k]
+                off = jax.lax.rem(c, jnp.asarray(W, c.dtype))
+                xb = xring_ref[pl.ds(off, 1), :]
+                B = upper_ref[j, k].astype(jnp.float32)
+                acc = acc + _sdot(xb, B, ((1,), (1,)), prec)
+                yc = _sdot(xr, B, ((1,), (0,)), prec)
+                yring_ref[pl.ds(off, 1), :] = yring_ref[pl.ds(off, 1), :] + yc
+            yring_ref[pl.ds(start + j, 1), :] = (
+                yring_ref[pl.ds(start + j, 1), :] + acc
+            )
+        # strip t is complete: emit and recycle its ring rows
+        y_ref[...] = yring_ref[pl.ds(start, s), :].astype(y_ref.dtype)
+        yring_ref[pl.ds(start, s), :] = jnp.zeros((s, y_ref.shape[-1]), jnp.float32)
+
+
+def _sym_ring_call(sym, x: jax.Array, s: int, W: int, interpret: bool) -> jax.Array:
+    """pallas_call plumbing for :func:`_sym_spmv_ring_kernel`."""
+    nbr, ku, bm, bn = sym.upper_data.shape
+    nstrips = nbr // s
+    koff = W // s - 1
+    nbc = sym.shape[1] // bn
+    x2 = x.astype(jnp.float32).reshape(nbc, bn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nstrips + koff,),
+        in_specs=[
+            pl.BlockSpec(
+                (s, bm, bn),
+                lambda p, cols: (jnp.maximum(p - (W // s - 1), 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (s, ku, bm, bn),
+                lambda p, cols: (jnp.maximum(p - (W // s - 1), 0), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # x tile for strip p (prefill during warmup, lookahead after)
+            pl.BlockSpec(
+                (s, bn),
+                lambda p, cols: (jnp.minimum(p, nbr // s - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (s, bm),
+            lambda p, cols: (jnp.maximum(p - (W // s - 1), 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, bn), jnp.float32),  # x ring
+            pltpu.VMEM((W, bm), jnp.float32),  # y accumulator ring
+        ],
+    )
+    vma = getattr(jax.typeof(sym.upper_data), "vma", None) or getattr(
+        jax.typeof(x2), "vma", None
+    )
+    out_struct = (
+        jax.ShapeDtypeStruct((nbr, bm), jnp.float32, vma=vma)
+        if vma
+        else jax.ShapeDtypeStruct((nbr, bm), jnp.float32)
+    )
+    itemsize = sym.upper_data.dtype.itemsize
+    y = pl.pallas_call(
+        partial(_sym_spmv_ring_kernel, ku, s, W, nstrips),
+        out_shape=out_struct,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (sym.diag_data.size + 2 * sym.upper_data.size),
+            bytes_accessed=(sym.diag_data.size + sym.upper_data.size) * itemsize
+            + x2.size * 4
+            + nbr * bm * 4,
+            transcendentals=0,
+        ),
+    )(sym.upper_cols.reshape(-1), sym.diag_data, sym.upper_data, x2)
+    return y.reshape(sym.shape[0])
+
+
 def _sym_spmv_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_ref, y_ref):
     """Symmetric SpMV over diagonal + strictly-UPPER block storage: each
     off-diagonal block B at (r, c>r) is read from HBM ONCE and applied
@@ -409,6 +555,15 @@ def sym_bsr_matvec_pallas(
         )
         if strip:
             return _sym_stream_call(sym, x, strip, interpret)
+        if reach >= 1 and bm == bn:
+            # band reach exceeds any VMEM strip AND the resident panels
+            # do not fit: the ring kernel covers this regime with
+            # ~reach-row ring buffers (the L=24 Heisenberg case)
+            s, Wr = _pick_ring_params(
+                nbr, ku, bm, bn, sym.upper_data.dtype.itemsize, reach
+            )
+            if s:
+                return _sym_ring_call(sym, x, s, Wr, interpret)
         return sym._xla_matvec(x)
     nbc = sym.shape[1] // bn
     x2 = x.astype(jnp.float32).reshape(nbc, bn)

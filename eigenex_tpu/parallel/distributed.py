@@ -186,8 +186,11 @@ def _local_ell_spmv(data, cols, x, use_pallas):
         return bsr_matvec_pallas(bsr_local, x, interpret=use_pallas == "interpret")
     xb = x.reshape(-1, bn)[cols]
     acc = _acc_dtype_of(data.dtype)
+    # x stays at the ACCUMULATION dtype: casting to bf16 storage dtype
+    # injects ~2e-3 relative noise per matvec (round-4 finding; the
+    # mixed bf16 x f32 einsum promotes in-registers)
     y = jnp.einsum(
-        "rkij,rkj->ri", data, xb.astype(data.dtype), preferred_element_type=acc
+        "rkij,rkj->ri", data, xb.astype(acc), preferred_element_type=acc
     )
     return y.reshape(-1).astype(acc)
 
@@ -851,7 +854,7 @@ def halo_matvec(
         acc = _acc_dtype_of(data.dtype)
         return (
             jnp.einsum(
-                "rkij,rkj->ri", data, xb.astype(data.dtype), preferred_element_type=acc
+                "rkij,rkj->ri", data, xb.astype(acc), preferred_element_type=acc
             )
             .reshape(-1)
             .astype(acc)
@@ -1006,7 +1009,7 @@ def sym_halo_matvec(
     xb = x_local.reshape(-1, bn)
     rdh = jnp.conj(rd) if jnp.issubdtype(rd.dtype, jnp.complexfloating) else rd
     contrib = jnp.einsum(
-        "rkij,ri->rkj", rdh, xb.astype(rd.dtype), preferred_element_type=acc
+        "rkij,ri->rkj", rdh, xb.astype(acc), preferred_element_type=acc
     )
     nbc_next = x_from_right.shape[0] // bn
     yc = jnp.zeros((nbc_next, bn), acc).at[rc].add(contrib.astype(acc)).reshape(-1)
@@ -1185,7 +1188,7 @@ def sym_halo_matmat(
     Xb = X_local.reshape(-1, bn, p)
     rdh = jnp.conj(rd) if jnp.issubdtype(rd.dtype, jnp.complexfloating) else rd
     contrib = jnp.einsum(
-        "rkij,rip->rkjp", rdh, Xb.astype(rd.dtype), preferred_element_type=acc
+        "rkij,rip->rkjp", rdh, Xb.astype(acc), preferred_element_type=acc
     )  # (nbr_local, k, bn, p)
     nbc_next = X_from_right.shape[0] // bn
     YC = (
@@ -1485,7 +1488,7 @@ def _local_ell_spmm(data, cols, X):
     Xb = X.reshape(-1, bn, X.shape[1])[cols]  # (nbr, k, bn, p)
     acc = _acc_dtype_of(data.dtype)
     Y = jnp.einsum(
-        "rkij,rkjb->rib", data, Xb.astype(data.dtype), preferred_element_type=acc
+        "rkij,rkjb->rib", data, Xb.astype(acc), preferred_element_type=acc
     )
     return Y.reshape(-1, X.shape[1]).astype(acc)
 

@@ -360,7 +360,10 @@ def accelerate(
         target = dtype
 
     if symmetric:
-        n_pad = -(-n_work // block) * block
+        # pad to 32 BLOCK rows so the streaming/ring kernels always have
+        # a dividing strip (21127 block rows is prime-ish; the pad adds
+        # at most 31 empty block rows of slots)
+        n_pad = -(-n_work // (32 * block)) * (32 * block)
         mat = _pack_symmetric(r, c, v, n_pad, block, use_native, target)
         slots = mat.diag_data.size + mat.upper_data.size
         applied = mat.diag_data.size + 2 * mat.upper_data.size

@@ -102,7 +102,7 @@ class BSRMatrix:
         y = jnp.einsum(
             "rkij,rkj->ri",
             self.data,
-            gathered.astype(self.dtype),
+            gathered.astype(acc),
             preferred_element_type=acc,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -118,7 +118,7 @@ class BSRMatrix:
         y = jnp.einsum(
             "rkij,rkjp->rip",
             self.data,
-            gathered.astype(self.dtype),
+            gathered.astype(acc),
             preferred_element_type=acc,
             precision=jax.lax.Precision.HIGHEST,
         )

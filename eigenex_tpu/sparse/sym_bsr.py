@@ -94,14 +94,14 @@ class SymBSRMatrix:
         xb = x.reshape(-1, bn)
         # diagonal blocks act on the aligned x blocks
         y = jnp.einsum(
-            "rij,rj->ri", self.diag_data, xb.astype(self.dtype),
+            "rij,rj->ri", self.diag_data, xb.astype(acc),
             preferred_element_type=acc,
             precision=jax.lax.Precision.HIGHEST,
         )
         # upper blocks: y[r] += B x[c]
         xg = xb[self.upper_cols]  # (nbr, ku, bn)
         y = y + jnp.einsum(
-            "rkij,rkj->ri", self.upper_data, xg.astype(self.dtype),
+            "rkij,rkj->ri", self.upper_data, xg.astype(acc),
             preferred_element_type=acc,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -112,7 +112,7 @@ class SymBSRMatrix:
             else self.upper_data
         )
         contrib = jnp.einsum(
-            "rkij,ri->rkj", up, xb.astype(self.dtype), preferred_element_type=acc,
+            "rkij,ri->rkj", up, xb.astype(acc), preferred_element_type=acc,
             precision=jax.lax.Precision.HIGHEST,
         )  # (nbr, ku, bn)
         y = y.at[self.upper_cols].add(contrib.astype(acc))
@@ -142,13 +142,13 @@ class SymBSRMatrix:
         p = X.shape[1]
         xb = X.reshape(-1, bn, p)
         y = jnp.einsum(
-            "rij,rjp->rip", self.diag_data, xb.astype(self.dtype),
+            "rij,rjp->rip", self.diag_data, xb.astype(acc),
             preferred_element_type=acc,
             precision=jax.lax.Precision.HIGHEST,
         )
         xg = xb[self.upper_cols]  # (nbr, ku, bn, p)
         y = y + jnp.einsum(
-            "rkij,rkjp->rip", self.upper_data, xg.astype(self.dtype),
+            "rkij,rkjp->rip", self.upper_data, xg.astype(acc),
             preferred_element_type=acc,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -158,7 +158,7 @@ class SymBSRMatrix:
             else self.upper_data
         )
         contrib = jnp.einsum(
-            "rkij,rip->rkjp", up, xb.astype(self.dtype), preferred_element_type=acc,
+            "rkij,rip->rkjp", up, xb.astype(acc), preferred_element_type=acc,
             precision=jax.lax.Precision.HIGHEST,
         )
         y = y.at[self.upper_cols].add(contrib.astype(acc))

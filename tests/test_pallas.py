@@ -347,3 +347,72 @@ class TestSymStreamSpMM:
         Y = ps.sym_bsr_matmat_pallas.__wrapped__(sym, X, interpret=True, rows_per=None)
         assert called, "streaming SpMM was not dispatched"
         np.testing.assert_allclose(Y, bsr.matmat(X), rtol=2e-5, atol=1e-3)
+
+
+class TestSymRingKernel:
+    """Far-reach ring streaming kernel (_sym_spmv_ring_kernel): band
+    reach too large for a VMEM strip, resident panels too large for
+    VMEM — the L=24 Heisenberg regime.  Interpret-mode vs the XLA
+    oracle."""
+
+    def _far_reach_sym(self, nbr, bm, reach, seed=0):
+        """Symmetric matrix whose upper blocks sit at distance `reach`
+        (plus a near band), forcing W > any strip."""
+        import scipy.sparse as sp
+        from eigenex_tpu.sparse.bsr import bsr_from_coo_arrays
+        from eigenex_tpu.sparse.sym_bsr import sym_bsr_from_bsr
+
+        rng = np.random.default_rng(seed)
+        n = nbr * bm
+        rows, cols, vals = [], [], []
+        # block-diagonal + near band + far couplings at `reach`
+        for br in range(nbr):
+            r0 = br * bm
+            d = rng.standard_normal((bm, bm))
+            d = (d + d.T) / 2
+            rr, cc = np.nonzero(np.abs(d) > 1.2)  # sparse-ish blocks
+            rows.append(r0 + rr); cols.append(r0 + cc); vals.append(d[rr, cc])
+            for dist in (1, reach):
+                if br + dist < nbr:
+                    o = rng.standard_normal((bm, bm))
+                    rr, cc = np.nonzero(np.abs(o) > 1.4)
+                    rows.append(r0 + rr); cols.append(r0 + dist * bm + cc)
+                    vals.append(o[rr, cc])
+                    rows.append(r0 + dist * bm + cc); cols.append(r0 + rr)
+                    vals.append(o[rr, cc])
+        r = np.concatenate(rows); c = np.concatenate(cols); v = np.concatenate(vals)
+        # merge duplicate symmetric diag entries
+        key = r.astype(np.int64) * n + c
+        order = np.argsort(key)
+        key, v = key[order], v[order]
+        uniq, start = np.unique(key, return_index=True)
+        v = np.add.reduceat(v, start)
+        r, c = (uniq // n).astype(np.int64), (uniq % n).astype(np.int64)
+        bsr = bsr_from_coo_arrays(r, c, v.astype(np.float32), (n, n), (bm, bm))
+        return sym_bsr_from_bsr(bsr)
+
+    @pytest.mark.parametrize("reach", [3, 7])
+    def test_ring_matches_xla(self, reach):
+        from eigenex_tpu.ops.pallas_spmv import _pick_ring_params, _sym_ring_call
+
+        nbr, bm = 32, 8
+        sym = self._far_reach_sym(nbr, bm, reach)
+        assert sym.band_reach == reach
+        s, W = _pick_ring_params(
+            nbr, sym.upper_cols.shape[1], bm, bm, sym.upper_data.dtype.itemsize, reach
+        )
+        assert s > 0 and W >= s + reach and W % s == 0
+        x = np.random.default_rng(1).standard_normal(sym.shape[1]).astype(np.float32)
+        y_ring = np.asarray(_sym_ring_call(sym, jnp.asarray(x), s, W, True))
+        y_ref = np.asarray(sym._xla_matvec(jnp.asarray(x)))
+        np.testing.assert_allclose(y_ring, y_ref, atol=1e-4 * np.abs(y_ref).max())
+
+    def test_ring_param_picker(self):
+        from eigenex_tpu.ops.pallas_spmv import _pick_ring_params
+
+        # L=24-like: nbr multiple of 32, ku 12, reach 485
+        s, W = _pick_ring_params(21152, 12, 128, 128, 2, 485)
+        assert s > 0 and W % s == 0 and W >= s + 485
+        # absurd reach: rings would blow VMEM
+        s, W = _pick_ring_params(21152, 12, 128, 128, 2, 500_000)
+        assert s == 0
