@@ -29,43 +29,22 @@ import numpy as np
 
 
 def spmv_chain_rate(op, dim, nnz, reps):
-    """Per-matvec seconds via the two-point fori_loop chain slope
-    (median of ``reps``) — amortizes the ~25 ms per-dispatch tunnel
-    latency that single-call timing is dominated by."""
-    import jax
+    """Per-matvec seconds via the shared protocol
+    (:mod:`eigenex_tpu.utils.benchtime`): fused-chain slope, medians of
+    ``reps``, forced host-copy sync."""
     import jax.numpy as jnp
-    from functools import partial
 
-    @partial(jax.jit, static_argnums=(2,))
-    def chain(params, x, k):
-        def body(i, acc):
-            y = op._matvec_fn(params, acc)
-            return (y / jnp.linalg.norm(y)).astype(x.dtype)
+    from eigenex_tpu.utils.benchtime import chain_slope
 
-        return jax.lax.fori_loop(0, k, body, x)
-
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(op.shape[1]).astype(np.float32))
-
-    def timed(k):
-        # force a (tiny) device->host copy: through the axon tunnel
-        # block_until_ready can return before execution completes, which
-        # silently times nothing
-        np.asarray(chain(op._params, x, k)[:16])
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(chain(op._params, x, k)[:16])
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts)), ts
-
-    # long chains: at Gnnz/s-class rates the per-dispatch tunnel jitter
-    # (~tens of ms) swamps a 16-matvec delta, so slope over 128 matvecs
-    t_lo, _ = timed(32)
-    t_hi, _ = timed(288)
-    per = (t_hi - t_lo) / 256
-    if per <= 0:
-        return None, None
-    return per, nnz / per / 1e9
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(op.shape[1]).astype(np.float32)
+    )
+    per, stats = chain_slope(
+        op._matvec_fn, op._params, x, k_lo=32, k_hi=288, reps=reps
+    )
+    if per is None:
+        return None, None, stats
+    return per, nnz / per / 1e9, stats
 
 
 def main():
@@ -127,15 +106,17 @@ def main():
         op_for_spmv = operand.as_linear_operator()
         mode = f"accelerated_sym_{st['dtype']}"
 
+    spmv_stats = None
     if args.spmv_reps and jax.default_backend() == "tpu":
-        per, rate = spmv_chain_rate(op_for_spmv, dim, len(v), args.spmv_reps)
+        per, rate, spmv_stats = spmv_chain_rate(op_for_spmv, dim, len(v), args.spmv_reps)
         spmv_rate = rate
         if rate is None:
             print("# on-chip SpMV: slope not resolvable (noise > signal)", file=sys.stderr)
         else:
             print(
                 f"# on-chip SpMV ({mode}): {per*1e3:.3f} ms/matvec = {rate:.2f} Gnnz/s "
-                f"(chain slope over 256 matvecs, median of {args.spmv_reps})",
+                f"(chain slope over 256 matvecs, median of {args.spmv_reps}, "
+                f"spread {spmv_stats['spread_hi_s']*1e3:.1f} ms)",
                 file=sys.stderr,
             )
 
@@ -185,6 +166,7 @@ def main():
                 "solve_seconds_cold": t_cold,
                 "iters_per_s": res.iterations / t_solve,
                 "spmv_gnnz_per_s": spmv_rate,
+                "spmv_protocol": spmv_stats,
             }
         )
     )

@@ -17,6 +17,22 @@ import jax
 import jax.numpy as jnp
 
 
+
+def slope_median(run, k1, k2, min_bytes, reps=5):
+    """Two-point chain slope with the shared protocol discipline:
+    medians of ``reps`` per point + the HBM plausibility clamp
+    (utils/benchtime) — min-of-reps under tunnel jitter biased low and
+    round-3 recorded a slope "even going negative once"."""
+    from eigenex_tpu.utils.benchtime import clamp_to_roofline, timed_median
+
+    med1, ts1 = timed_median(lambda: run(k1), reps)
+    med2, ts2 = timed_median(lambda: run(k2), reps)
+    per = (med2 - med1) / (k2 - k1)
+    per, clamped = clamp_to_roofline(max(per, 1e-12), min_bytes)
+    spread = (np.max(ts2) - np.min(ts2)) / (k2 - k1)
+    return per, dict(reps=reps, spread_per_s=float(spread), clamped=clamped)
+
+
 def main():
     sys.path.insert(0, ".")
     from eigenex_tpu.sparse.bsr import BSRMatrix
@@ -47,16 +63,11 @@ def main():
     k1, k2 = 4, 20
     for k in (k1, k2):
         float(chain(bsr, x, k))
-    best = {k1: np.inf, k2: np.inf}
-    for _ in range(3):
-        for k in (k1, k2):
-            t0 = time.perf_counter()
-            float(chain(bsr, x, k))
-            best[k] = min(best[k], time.perf_counter() - t0)
-    per = (best[k2] - best[k1]) / (k2 - k1)
+    per, st = slope_median(lambda k: float(chain(bsr, x, k)), k1, k2, nnz * 2 + 2 * n * 4)
     print(
         f"# SpMV: {per*1e3:.2f} ms ({nnz/per/1e9:.1f} Gnnz/s, "
-        f"{nnz*2/per/1e9:.0f} GB/s)",
+        f"{nnz*2/per/1e9:.0f} GB/s; median of {st['reps']}, spread "
+        f"{st['spread_per_s']*1e3:.2f} ms/mv{', CLAMPED' if st['clamped'] else ''})",
         file=sys.stderr,
     )
 
@@ -119,15 +130,14 @@ def main():
 
     for k in (k1, k2):
         float(chain_s(sym, xs, k))
-    bs = {k1: np.inf, k2: np.inf}
-    for _ in range(3):
-        for k in (k1, k2):
-            t0 = time.perf_counter()
-            float(chain_s(sym, xs, k))
-            bs[k] = min(bs[k], time.perf_counter() - t0)
-    per_s = (bs[k2] - bs[k1]) / (k2 - k1)
+    per_s, st_s = slope_median(
+        lambda k: float(chain_s(sym, xs, k)), k1, k2,
+        sym.nnz_stored * 2 + 3 * n_s * 4,
+    )
     print(
-        f"# sym SpMV: {per_s*1e3:.2f} ms ({nnz_eff/per_s/1e9:.1f} effective Gnnz/s)",
+        f"# sym SpMV: {per_s*1e3:.2f} ms ({nnz_eff/per_s/1e9:.1f} effective Gnnz/s; "
+        f"median of {st_s['reps']}, spread {st_s['spread_per_s']*1e3:.2f} ms/mv"
+        f"{', CLAMPED' if st_s['clamped'] else ''})",
         file=sys.stderr,
     )
 
@@ -169,17 +179,15 @@ def main():
     k1m, k2m = 2, 8
     for k in (k1m, k2m):
         float(chain_mm(sym, Xs, k))
-    bm_t = {k1m: np.inf, k2m: np.inf}
-    for _ in range(3):
-        for k in (k1m, k2m):
-            t0 = time.perf_counter()
-            float(chain_mm(sym, Xs, k))
-            bm_t[k] = min(bm_t[k], time.perf_counter() - t0)
-    per_mm = (bm_t[k2m] - bm_t[k1m]) / (k2m - k1m)
+    per_mm, st_mm = slope_median(
+        lambda k: float(chain_mm(sym, Xs, k)), k1m, k2m,
+        sym.nnz_stored * 2 + 3 * n_s * p * 4,
+    )
     print(
         f"# sym SpMM (p=8, streaming kernel): {per_mm*1e3:.2f} ms "
         f"({nnz_eff/per_mm/1e9:.1f} eff Gnnz/s per col, "
-        f"{nnz_eff*p/per_mm/1e12:.2f} Tnnz·p/s)",
+        f"{nnz_eff*p/per_mm/1e12:.2f} Tnnz·p/s; median of {st_mm['reps']}, "
+        f"spread {st_mm['spread_per_s']*1e3:.2f} ms{', CLAMPED' if st_mm['clamped'] else ''})",
         file=sys.stderr,
     )
 

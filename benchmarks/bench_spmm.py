@@ -33,9 +33,15 @@ import jax.numpy as jnp
 CHAIN_SHORT, CHAIN_LONG = 8, 72
 
 
-def time_matmat(matmat, A, X, reps=4):
+def time_matmat(matmat, A, X, min_bytes, reps=5):
     """Per-matmat seconds via dispatch-pipelined two-point chain slope
-    (see bench.py: cancels the ~30 ms axon tunnel dispatch latency)."""
+    with the shared protocol discipline (utils/benchtime): medians of
+    ``reps`` per point (min-of-reps biased low under tunnel jitter) and
+    a physical-plausibility clamp on the result — round-3 recorded this
+    harness swinging unchanged XLA paths ±50% across runs; the median +
+    clamp + reported spread replace cross-run eyeballing."""
+    from eigenex_tpu.utils.benchtime import clamp_to_roofline, timed_median
+
     mm = jax.jit(matmat)
 
     def run(K):
@@ -46,13 +52,12 @@ def time_matmat(matmat, A, X, reps=4):
         return float(jnp.vdot(V[:, 0], V[:, 0]))
 
     run(3)
-    best = {CHAIN_SHORT: np.inf, CHAIN_LONG: np.inf}
-    for _ in range(reps):
-        for K in (CHAIN_SHORT, CHAIN_LONG):
-            t0 = time.perf_counter()
-            run(K)
-            best[K] = min(best[K], time.perf_counter() - t0)
-    return (best[CHAIN_LONG] - best[CHAIN_SHORT]) / (CHAIN_LONG - CHAIN_SHORT)
+    med_s, ts_s = timed_median(lambda: run(CHAIN_SHORT), reps)
+    med_l, ts_l = timed_median(lambda: run(CHAIN_LONG), reps)
+    per = (med_l - med_s) / (CHAIN_LONG - CHAIN_SHORT)
+    per, clamped = clamp_to_roofline(max(per, 1e-12), min_bytes)
+    spread = (np.max(ts_l) - np.min(ts_l)) / (CHAIN_LONG - CHAIN_SHORT)
+    return per, dict(reps=reps, spread_per_s=float(spread), clamped=clamped)
 
 
 def main():
@@ -86,14 +91,27 @@ def main():
         "sym xla bf16": (lambda s, v: s._xla_matmat(v), sym16),
         "pallas full bf16": (bsr_matmat_pallas, bsr16),
     }
+    def path_bytes(label, A):
+        # minimal HBM bytes per matmat: stored blocks + X in + Y out
+        if label.startswith("sym"):
+            blocks = (A.diag_data.size + A.upper_data.size) * A.diag_data.dtype.itemsize
+        else:
+            blocks = A.data.size * A.data.dtype.itemsize
+        return blocks + 2 * X.size * 4
+
     rates = {}
+    protocol = {}
     for label, (fn, A) in paths.items():
         t0 = time.perf_counter()
         try:
-            rates[label] = nnz / time_matmat(fn, A, X)
+            per, stats = time_matmat(fn, A, X, path_bytes(label, A))
+            rates[label] = nnz / per
+            protocol[label] = stats
             print(
                 f"# {label}: {rates[label] / 1e9:.1f} Gnnz/s"
-                f" ({time.perf_counter() - t0:.0f}s incl. compile)",
+                f" (median of {stats['reps']}, spread {stats['spread_per_s']*1e6:.0f} us/mv"
+                f"{', CLAMPED to roofline' if stats['clamped'] else ''};"
+                f" {time.perf_counter() - t0:.0f}s incl. compile)",
                 file=sys.stderr,
                 flush=True,
             )
@@ -113,6 +131,7 @@ def main():
                 "n": bsr.shape[0],
                 "best_path": best,
                 "vs_xla_full": rates[best] / rates["xla full bf16"],
+                "protocol": protocol.get(best),
             }
         )
     )

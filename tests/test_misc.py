@@ -67,3 +67,45 @@ def test_operator_call_and_matmul_array(key):
     op = aslinearoperator(A)
     x = jnp.ones(5)
     np.testing.assert_allclose(op @ x, A @ x)  # __matmul__ on an array
+
+
+class TestBenchtime:
+    """The shared benchmark timing protocol (utils/benchtime.py) —
+    slope math, sync, and plausibility clamping."""
+
+    def test_chain_slope_recovers_known_cost(self):
+        import jax.numpy as jnp
+
+        from eigenex_tpu.utils.benchtime import chain_slope
+
+        n = 64
+        A = jnp.eye(n) * 0.5
+
+        def mv(p, x):
+            return p @ x
+
+        x = jnp.ones((n,), jnp.float64)
+        per, stats = chain_slope(mv, A, x, k_lo=2, k_hi=10, reps=3)
+        # on CPU the tiny matmul takes SOME positive time; the protocol
+        # must return either a positive slope or an explicit
+        # "unresolvable" flag — never a negative rate
+        assert (per is None and stats.get("unresolvable")) or per > 0
+        assert stats["reps"] == 3 and stats["k_hi"] == 10
+
+    def test_clamp_rejects_superluminal(self):
+        from eigenex_tpu.utils.benchtime import clamp_to_roofline, plausibility_floor
+
+        gb = 8 * 10**9
+        floor = plausibility_floor(gb)
+        t, clamped = clamp_to_roofline(floor / 2, gb)
+        assert clamped and t == floor
+        t2, clamped2 = clamp_to_roofline(floor * 3, gb)
+        assert not clamped2 and t2 == floor * 3
+
+    def test_force_sync_accepts_shapes(self):
+        import jax.numpy as jnp
+
+        from eigenex_tpu.utils.benchtime import force_sync
+
+        force_sync(jnp.ones((8, 8)))
+        force_sync((jnp.ones(4), jnp.ones(4)))
