@@ -328,3 +328,46 @@ class TestEigsAccelerate:
         res = eigs(dense, k=2, tol=1e-12, v0=v0)
         key = lambda a: np.sort_complex(a.real + 1j * np.abs(a.imag))
         np.testing.assert_allclose(key(np.asarray(res.eigenvalues)), key(lam_ref), atol=1e-8)
+
+
+class TestSaveLoad:
+    """Pack-once persistence: the RCM+pack is minutes at 10^7 nnz and
+    deterministic, so production reloads instead of repacking."""
+
+    @pytest.mark.parametrize("complex_", [False, True])
+    def test_roundtrip(self, tmp_path, complex_):
+        n = 180
+        coo = _random_symmetric_coo(n, 0.04, 61, complex_=complex_)
+        acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+        p = tmp_path / "op.npz"
+        acc.save(p)
+        back = AcceleratedOperator.load(p)
+        assert back.symmetric == acc.symmetric
+        assert back.complexified == acc.complexified
+        assert back.orig_shape == acc.orig_shape
+        assert back.stats["dtype"] == acc.stats["dtype"]
+        z = (
+            np.random.default_rng(0).standard_normal(n)
+            + (1j * np.random.default_rng(1).standard_normal(n) if complex_ else 0)
+        )
+        y1 = acc.restore(np.asarray(acc.as_linear_operator().matvec(acc.embed(z))))
+        y2 = back.restore(np.asarray(back.as_linear_operator().matvec(back.embed(z))))
+        np.testing.assert_array_equal(y1, y2)
+
+    def test_bf16_blocks_survive_npz(self, tmp_path):
+        import scipy.sparse as sp
+
+        n = 96
+        m = sp.random(n, n, density=0.06, random_state=7)
+        m.data = np.round(m.data * 4) / 4 + 1.0  # dyadic -> bf16 lossless
+        m = (m + m.T).tocoo()
+        acc = accelerate((m.row, m.col, m.data, m.shape))
+        assert acc.stats["dtype"] == "bfloat16"
+        p = tmp_path / "op16.npz"
+        acc.save(p)
+        back = AcceleratedOperator.load(p)
+        assert str(back.matrix.dtype) == "bfloat16"
+        np.testing.assert_array_equal(
+            np.asarray(back.matrix.diag_data.astype(jnp.float32)),
+            np.asarray(acc.matrix.diag_data.astype(jnp.float32)),
+        )
