@@ -477,6 +477,126 @@ def _sym_ring_call(sym, x: jax.Array, s: int, W: int, interpret: bool) -> jax.Ar
     return y.reshape(sym.shape[0])
 
 
+def _pick_ring_params_mm(
+    nbr: int, ku: int, bm: int, bn: int, p: int, itemsize: int, reach: int
+):
+    """(s, W) for the multi-RHS ring kernel — the rings hold (W, p, bn)
+    slabs, so the budget scales with p."""
+    budget = 14 * 2**20
+    if reach < 1:
+        return 0, 0
+    for s in (32, 16, 8, 4):
+        if nbr % s:
+            continue
+        koff = -(-reach // s)
+        W = (koff + 1) * s
+        stream = 2 * s * ((1 + ku) * bm * bn * itemsize + p * bn * 4 + p * bm * 4)
+        rings = W * p * (bn + bm) * 4
+        if stream + rings <= budget:
+            return s, W
+    return 0, 0
+
+
+def _sym_spmm_ring_kernel(
+    ku: int, s: int, W: int, nstrips: int,
+    cols_ref, diag_ref, upper_ref, xt_ref, y_ref, xring_ref, yring_ref,
+):
+    """Multi-RHS twin of :func:`_sym_spmv_ring_kernel`: X and the Y
+    accumulator travel as (W, p, bn) slab RINGS (p sublanes, block axis
+    lanes — the transposed-slab layout of the other SpMM kernels), same
+    warmup/modular-addressing scheme."""
+    p_id = pl.program_id(0)
+    koff = W // s - 1
+
+    @pl.when(p_id == 0)
+    def _():
+        yring_ref[...] = jnp.zeros_like(yring_ref)
+
+    slot = (p_id % (koff + 1)) * s
+    xring_ref[pl.ds(slot, s)] = xt_ref[...]
+
+    @pl.when(p_id >= koff)
+    def _():
+        t = p_id - koff
+        base = t * s
+        start = base % W
+        prec = _dot_mode(diag_ref.dtype)
+        for j in range(s):
+            Xr = xring_ref[pl.ds(start + j, 1)][0]  # (p, bn)
+            D = diag_ref[j].astype(jnp.float32)
+            acc = _sdot(Xr, D, ((1,), (1,)), prec)  # (p, bm)
+            for k in range(ku):
+                c = cols_ref[(base + j) * ku + k]
+                off = jax.lax.rem(c, jnp.asarray(W, c.dtype))
+                Xb = xring_ref[pl.ds(off, 1)][0]
+                B = upper_ref[j, k].astype(jnp.float32)
+                acc = acc + _sdot(Xb, B, ((1,), (1,)), prec)
+                YC = _sdot(Xr, B, ((1,), (0,)), prec)  # (p, bn)
+                yring_ref[pl.ds(off, 1)] = yring_ref[pl.ds(off, 1)] + YC[None]
+            yring_ref[pl.ds(start + j, 1)] = (
+                yring_ref[pl.ds(start + j, 1)] + acc[None]
+            )
+        y_ref[...] = yring_ref[pl.ds(start, s)].astype(y_ref.dtype)
+        yring_ref[pl.ds(start, s)] = jnp.zeros(
+            (s,) + yring_ref.shape[1:], jnp.float32
+        )
+
+
+def _sym_ring_matmat_call(sym, x3: jax.Array, s: int, W: int, interpret: bool):
+    """pallas_call plumbing for :func:`_sym_spmm_ring_kernel`; ``x3`` is
+    the padded (nbc, p, bn) f32 slab stack."""
+    nbr, ku, bm, bn = sym.upper_data.shape
+    nstrips = nbr // s
+    koff = W // s - 1
+    p = x3.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nstrips + koff,),
+        in_specs=[
+            pl.BlockSpec(
+                (s, bm, bn),
+                lambda i, cols: (jnp.maximum(i - (W // s - 1), 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (s, ku, bm, bn),
+                lambda i, cols: (jnp.maximum(i - (W // s - 1), 0), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (s, p, bn),
+                lambda i, cols: (jnp.minimum(i, nbr // s - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (s, p, bm),
+            lambda i, cols: (jnp.maximum(i - (W // s - 1), 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, p, bn), jnp.float32),
+            pltpu.VMEM((W, p, bm), jnp.float32),
+        ],
+    )
+    itemsize = sym.upper_data.dtype.itemsize
+    y = pl.pallas_call(
+        partial(_sym_spmm_ring_kernel, ku, s, W, nstrips),
+        out_shape=jax.ShapeDtypeStruct((nbr, p, bm), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (sym.diag_data.size + 2 * sym.upper_data.size) * p,
+            bytes_accessed=(sym.diag_data.size + sym.upper_data.size) * itemsize
+            + 2 * x3.size * 4
+            + nbr * p * bm * 4,
+            transcendentals=0,
+        ),
+    )(sym.upper_cols.reshape(-1), sym.diag_data, sym.upper_data, x3)
+    return y
+
+
 def _sym_spmv_kernel(ku: int, rows_per: int, cols_ref, diag_ref, upper_ref, x_ref, y_ref):
     """Symmetric SpMV over diagonal + strictly-UPPER block storage: each
     off-diagonal block B at (r, c>r) is read from HBM ONCE and applied
@@ -812,6 +932,15 @@ def sym_bsr_matmat_pallas(
             y = _sym_stream_matmat_call(sym, x3, strip, interpret)
             out = y.transpose(0, 2, 1).reshape(sym.shape[0], p)
             return out[:, :p_in] if p != p_in else out
+        if reach >= 1 and bm == bn:
+            # far reach: the ring SpMM (slab rings, VMEM independent of n)
+            s, Wr = _pick_ring_params_mm(
+                nbr, ku, bm, bn, p, sym.upper_data.dtype.itemsize, reach
+            )
+            if s:
+                y = _sym_ring_matmat_call(sym, x3, s, Wr, interpret)
+                out = y.transpose(0, 2, 1).reshape(sym.shape[0], p)
+                return out[:, :p_in] if p != p_in else out
         return sym._xla_matmat(X)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -416,3 +416,24 @@ class TestSymRingKernel:
         # absurd reach: rings would blow VMEM
         s, W = _pick_ring_params(21152, 12, 128, 128, 2, 500_000)
         assert s == 0
+
+    @pytest.mark.parametrize("reach", [3, 7])
+    def test_ring_matmat_matches_xla(self, reach):
+        from eigenex_tpu.ops.pallas_spmv import (
+            _pick_ring_params_mm,
+            _sym_ring_matmat_call,
+        )
+
+        nbr, bm, p = 32, 8, 8
+        sym = self._far_reach_sym(nbr, bm, reach, seed=3)
+        s, W = _pick_ring_params_mm(
+            nbr, sym.upper_cols.shape[1], bm, bm, p,
+            sym.upper_data.dtype.itemsize, reach,
+        )
+        assert s > 0
+        X = np.random.default_rng(2).standard_normal((sym.shape[1], p)).astype(np.float32)
+        x3 = jnp.asarray(X.reshape(-1, bm, p).transpose(0, 2, 1))
+        Y = np.asarray(_sym_ring_matmat_call(sym, x3, s, W, True))
+        Y = Y.transpose(0, 2, 1).reshape(sym.shape[0], p)
+        Y_ref = np.asarray(sym._xla_matmat(jnp.asarray(X)))
+        np.testing.assert_allclose(Y, Y_ref, atol=1e-4 * np.abs(Y_ref).max())
