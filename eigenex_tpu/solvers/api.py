@@ -516,25 +516,13 @@ def _eigsh_accelerated(
         # unit real vector q = α[Re v, Im v] + β[−Im v, Re v] restores
         # to the valid unit complex eigenvector (α+iβ)v, so one
         # representative per group suffices.
-        spread = float(np.abs(lam).max()) if lam.size else 1.0
-        close = max(spread, 1.0) * 1e-3
-        if vecs is not None:
-            norms = np.linalg.norm(vecs, axis=0)
-            unit = vecs / np.maximum(norms, 1e-300)
-        keep: list[int] = []
-        for i in range(len(lam)):
-            dup = False
-            for j in keep:
-                if abs(lam[i] - lam[j]) > close:
-                    continue
-                if vecs is None or abs(np.vdot(unit[:, j], unit[:, i])) > 0.9:
-                    dup = True
-                    break
-            if not dup:
-                keep.append(i)
-        keep = keep[:k]
+        from ..sparse.accelerate import dedup_embedded_pairs
+
+        keep = dedup_embedded_pairs(lam, vecs, keep_max=k)
         lam = lam[keep]
-        vecs = unit[:, keep] if vecs is not None else None
+        if vecs is not None:
+            vecs = vecs[:, keep]
+            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=0), 1e-300)
     res2 = LanczosResult(
         eigenvalues=lam,
         eigenvectors=vecs,

@@ -480,7 +480,25 @@ def eigsh_window(
     chain row-partitioned over the device mesh (block-sparse operands
     only; ``matvec_mode`` as in the distributed Lanczos drivers) with
     CholeskyQR2 panel orthonormalization — the filter is a pure matmat
-    chain, the most mesh-friendly solver in the library."""
+    chain, the most mesh-friendly solver in the library.
+
+    An :class:`~eigenex_tpu.sparse.accelerate.AcceleratedOperator`
+    operand runs the filter over the permuted block container with a
+    padding-safe start block and restores eigenvectors to original
+    coordinates (complex Hermitian included: the block is doubled on the
+    real embedding and the doubled window contents deduped)."""
+    from ..sparse.accelerate import AcceleratedOperator
+
+    if isinstance(A, AcceleratedOperator):
+        if mesh is not None:
+            raise LanczosError(
+                "eigsh_window: AcceleratedOperator cannot combine with mesh="
+            )
+        return _window_on_accelerated(
+            A, window, block_size=block_size, degree=degree, tol=tol,
+            max_iterations=max_iterations, spectral_bounds=spectral_bounds,
+            seed=seed,
+        )
     if mesh is None:
         return ChebyshevFilterSolver(
             A,
@@ -514,4 +532,54 @@ def eigsh_window(
     ).compute()
     if res.eigenvectors is not None and res.eigenvectors.shape[0] != orig_n:
         res.eigenvectors = res.eigenvectors[:orig_n]
+    return res
+
+
+def _window_on_accelerated(
+    acc, window, *, block_size, degree, tol, max_iterations, spectral_bounds, seed
+):
+    """eigsh_window driver for an AcceleratedOperator: permuted-space
+    filter iteration with a padding-safe start block; eigenvectors
+    restored (and the doubled spectrum of a complexified operand
+    deduped by value + overlap)."""
+    import numpy as np
+
+    from ..sparse.accelerate import dedup_embedded_pairs
+
+    mult = 2 if acc.complexified else 1
+    dtype = acc.as_linear_operator().dtype
+    X0 = _padding_safe_block(acc.n_work, acc.shape[0], mult * block_size, dtype, seed)
+    # spectral_bounds=None lets the solver power-probe the bounds
+    # (Gershgorin on random operators is far too wide and collapses the
+    # filter's selectivity).  The pads' zero eigenvalue may fall outside
+    # those bounds, where |T_k| grows — harmless: the padding-safe start
+    # block has EXACTLY zero pad components and the structurally-zero
+    # pad rows keep them zero through every filter application.
+    res = ChebyshevFilterSolver(
+        acc.matrix,
+        window,
+        ChebyshevFilterOptions(
+            degree=degree,
+            tolerance=tol,
+            max_iterations=max_iterations,
+            seed=seed,
+            spectral_bounds=spectral_bounds,
+        ),
+        block_size=mult * block_size,
+        initial_block=X0,
+    ).compute()
+    lam = np.asarray(res.eigenvalues)
+    vecs = (
+        acc.restore(np.asarray(res.eigenvectors))
+        if res.eigenvectors is not None
+        else None
+    )
+    if acc.complexified and lam.size:
+        keep = dedup_embedded_pairs(lam, vecs)
+        lam = lam[keep]
+        if vecs is not None:
+            vecs = vecs[:, keep]
+            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=0), 1e-300)
+    res.eigenvalues = lam
+    res.eigenvectors = vecs
     return res

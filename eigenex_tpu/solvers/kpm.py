@@ -117,6 +117,7 @@ def chebyshev_moments(
     seed: int = 0,
     mesh=None,
     matvec_mode: str = "allgather",
+    probe_rows: int | None = None,
 ):
     """(μ (n_moments,), (λ_min, λ_max)) — Jackson-undamped Hutchinson
     Chebyshev moments of the spectral measure of a Hermitian operator,
@@ -142,6 +143,10 @@ def chebyshev_moments(
     span = hi - lo
     lo_m, hi_m = lo - 0.005 * span, hi + 0.005 * span
     n_rows = op.shape[0] if n_true is None else n_true
+    if probe_rows is not None:
+        # caller-declared probe support (e.g. an AcceleratedOperator's
+        # unpadded working rows): pad rows stay out of the trace
+        n_rows = min(n_rows, int(probe_rows))
     Z = random_matrix(jax.random.PRNGKey(seed), n_probes, n_rows, op.dtype).T
     # Rademacher probes have lower Hutchinson variance than Gaussian for
     # real dtypes; keep Gaussian for complex (phases already uniform)
@@ -252,17 +257,43 @@ def eigsh_range(
     :class:`~eigenex_tpu.solvers.lanczos.LanczosResult` with all found
     pairs sorted ascending; ``converged`` is the AND over slices.
     """
-    if mesh is None:
+    from ..sparse.accelerate import AcceleratedOperator
+
+    acc = A if isinstance(A, AcceleratedOperator) else None
+    if acc is not None:
+        if mesh is not None:
+            raise LanczosError(
+                "eigsh_range: AcceleratedOperator cannot combine with mesh="
+            )
+        if acc.complexified:
+            raise LanczosError(
+                "eigsh_range on complexified operators is not supported (the "
+                "KPM count doubles); use eigsh_window per window or eigsh(sigma=)"
+            )
+    if mesh is None and acc is None:
         as_filter_operator(A)  # validates the operand type early
     a, b_hi = float(interval[0]), float(interval[1])
     if not a < b_hi:
         raise LanczosError(f"interval must satisfy a < b, got {interval}")
-    mu_pack = chebyshev_moments(
-        A, n_moments, n_probes=n_probes, spectral_bounds=spectral_bounds, seed=seed,
-        mesh=mesh, matvec_mode=matvec_mode,
-    )
+    if acc is not None:
+        import types
+
+        # moments over the block container with probes supported on the
+        # unpadded rows (counts then exclude the pads' zero eigenvalues);
+        # counts scale by the probe support, not the padded dimension
+        mu_pack = chebyshev_moments(
+            acc.matrix, n_moments, n_probes=n_probes,
+            spectral_bounds=spectral_bounds, seed=seed, probe_rows=acc.n_work,
+        )
+        count_operand = types.SimpleNamespace(shape=(acc.n_work, acc.n_work))
+    else:
+        mu_pack = chebyshev_moments(
+            A, n_moments, n_probes=n_probes, spectral_bounds=spectral_bounds, seed=seed,
+            mesh=mesh, matvec_mode=matvec_mode,
+        )
+        count_operand = A
     lo, hi = mu_pack[1]
-    total = eigenvalue_count(A, (a, b_hi), _moments=mu_pack)
+    total = eigenvalue_count(count_operand, (a, b_hi), _moments=mu_pack)
     per = max(block_size - slack, 1)
     n_slices = max(1, int(np.ceil(total / per)))
     # slice boundaries at equal estimated counts (monotone bisection on
@@ -273,7 +304,7 @@ def eigsh_range(
         x_lo, x_hi = edges[-1], b_hi
         for _ in range(40):
             mid = (x_lo + x_hi) / 2
-            if eigenvalue_count(A, (a, mid), _moments=mu_pack) < target:
+            if eigenvalue_count(count_operand, (a, mid), _moments=mu_pack) < target:
                 x_lo = mid
             else:
                 x_hi = mid

@@ -349,6 +349,38 @@ class AcceleratedOperator:
             )
 
 
+def dedup_embedded_pairs(lam, vecs, keep_max: int | None = None):
+    """Indices to KEEP from a RESTORED doubled-spectrum result.
+
+    Eigenvalues of a complexified (real-embedded) Hermitian operator
+    appear up to twice; a clean Krylov space may hold only ONE vector
+    per 2-D embedded eigenspace, so dedup goes by value-closeness AND
+    vector overlap, never by blind pairing.  ``vecs`` are the restored
+    complex eigenvectors (columns, any normalization); eigenvalues are
+    assumed sorted the way the caller wants them kept."""
+    lam = np.asarray(lam)
+    spread = float(np.abs(lam).max()) if lam.size else 1.0
+    close = max(spread, 1.0) * 1e-3
+    unit = None
+    if vecs is not None:
+        norms = np.linalg.norm(vecs, axis=0)
+        unit = vecs / np.maximum(norms, 1e-300)
+    keep: list[int] = []
+    for i in range(len(lam)):
+        dup = False
+        for j in keep:
+            if abs(lam[i] - lam[j]) > close:
+                continue
+            if unit is None or abs(np.vdot(unit[:, j], unit[:, i])) > 0.9:
+                dup = True
+                break
+        if not dup:
+            keep.append(i)
+        if keep_max is not None and len(keep) >= keep_max:
+            break
+    return keep
+
+
 def accelerate(
     A,
     *,

@@ -167,11 +167,16 @@ class SymBSRMatrix:
     def as_linear_operator(self, use_pallas: bool | None = None) -> LinearOperator:
         if use_pallas is None:
             use_pallas = _on_tpu_device(self.diag_data)
+        # BOTH routes fixed at construction: inside a jit trace the
+        # container is a tracer and per-call device sniffing would fall
+        # back to default_backend(), which is wrong on machines where a
+        # TPU plugin registers while compute is pinned to CPU
         mv = _sym_pallas_matvec if use_pallas else _sym_xla_matvec
+        mm = _sym_pallas_matmat if use_pallas else _sym_xla_matmat
         return LinearOperator(
             mv, self, self.shape, self._acc_dtype,  # bf16 storage -> f32 matvec
             rmatvec_fn=mv,  # Hermitian: A == Aᴴ
-            matmat_fn=_sym_matmat,
+            matmat_fn=mm,
         )
 
     # -- spectral-range estimation ---------------------------------------
@@ -229,6 +234,16 @@ def _sym_pallas_matvec(p, x):
 
 def _sym_xla_matvec(p, x):
     return p._xla_matvec(x)
+
+
+def _sym_pallas_matmat(p, X):
+    from ..ops.pallas_spmv import sym_bsr_matmat_pallas
+
+    return sym_bsr_matmat_pallas(p, X)
+
+
+def _sym_xla_matmat(p, X):
+    return p._xla_matmat(X)
 
 
 def _sym_matmat(p, X):

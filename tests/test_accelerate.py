@@ -371,3 +371,85 @@ class TestSaveLoad:
             np.asarray(back.matrix.diag_data.astype(jnp.float32)),
             np.asarray(acc.matrix.diag_data.astype(jnp.float32)),
         )
+
+
+class TestFilterFrontEndsOnAccelerated:
+    """eigsh_window / eigsh_range accept AcceleratedOperator: permuted-
+    space filtering, padding-safe starts, restored (deduped) vectors."""
+
+    def test_window_real(self):
+        from eigenex_tpu.solvers.chebyshev import eigsh_window
+
+        n = 300
+        coo = _random_symmetric_coo(n, 0.03, 71)
+        dense = coo.toarray()
+        ev = np.sort(np.linalg.eigvalsh(dense))
+        # an interior window holding 3 eigenvalues
+        w = (float((ev[10] + ev[9]) / 2), float((ev[13] + ev[12]) / 2))
+        inside = ev[(ev > w[0]) & (ev < w[1])]
+        acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+        # f32 container => f32-reachable tol; tight bounds + a higher
+        # degree (Gershgorin is far too wide on random operators and
+        # would need degree >> 100 to select a 1%-wide window)
+        res = eigsh_window(
+            acc, w, block_size=max(6, len(inside) + 3), tol=3e-5,
+            degree=60, spectral_bounds=(float(ev[0]) - 0.1, float(ev[-1]) + 0.1),
+        )
+        lam = np.sort(np.asarray(res.eigenvalues))
+        assert len(lam) == len(inside)
+        np.testing.assert_allclose(lam, inside, atol=1e-4)
+        V = res.eigenvectors
+        assert V.shape[0] == n
+        for j in range(V.shape[1]):
+            x = V[:, j] / np.linalg.norm(V[:, j])
+            lj = float(x @ dense @ x)
+            assert np.linalg.norm(dense @ x - lj * x) < 5e-4  # f32 filter
+
+    def test_window_complex_dedups(self):
+        from eigenex_tpu.solvers.chebyshev import eigsh_window
+
+        n = 140
+        coo = _random_symmetric_coo(n, 0.04, 73, complex_=True)
+        dense = coo.toarray()
+        ev = np.sort(np.linalg.eigvalsh(dense))
+        w = (float((ev[7] + ev[6]) / 2), float((ev[10] + ev[9]) / 2))
+        inside = ev[(ev > w[0]) & (ev < w[1])]
+        acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+        assert acc.complexified
+        res = eigsh_window(
+            acc, w, block_size=len(inside) + 3, tol=3e-5,
+            degree=60, spectral_bounds=(float(ev[0]) - 0.1, float(ev[-1]) + 0.1),
+        )
+        lam = np.sort(np.asarray(res.eigenvalues))
+        assert len(lam) == len(inside)  # doubled spectrum collapsed
+        np.testing.assert_allclose(lam, inside, atol=1e-4)
+        V = res.eigenvectors
+        assert np.iscomplexobj(V) and V.shape[0] == n
+
+    def test_range_real(self):
+        from eigenex_tpu.solvers.kpm import eigsh_range
+
+        n = 260
+        coo = _random_symmetric_coo(n, 0.04, 79)
+        dense = coo.toarray()
+        ev = np.sort(np.linalg.eigvalsh(dense))
+        # midpoint edges: an eigenvalue 1e-6 from the boundary sits in
+        # the filter's transition band and is legitimately missable
+        a, b = float((ev[3] + ev[4]) / 2), float((ev[12] + ev[13]) / 2)
+        inside = ev[(ev >= a) & (ev <= b)]
+        acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+        res = eigsh_range(
+            acc, (a, b), block_size=8, tol=3e-5, degree=80,
+            spectral_bounds=(float(ev[0]) - 0.1, float(ev[-1]) + 0.1),
+        )
+        lam = np.sort(np.asarray(res.eigenvalues))
+        np.testing.assert_allclose(lam, inside, atol=1e-4)
+
+    def test_range_complex_rejected(self):
+        from eigenex_tpu.solvers.kpm import eigsh_range
+        from eigenex_tpu.utils.exceptions import LanczosError
+
+        coo = _random_symmetric_coo(60, 0.08, 81, complex_=True)
+        acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
+        with pytest.raises(LanczosError, match="complexified"):
+            eigsh_range(acc, (-1.0, 1.0))
