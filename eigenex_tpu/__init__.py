@@ -44,6 +44,7 @@ from .parallel import (
 )
 from .solvers.gmres import gmres_solve, gmres_solve_jit, shift_invert_operator_general
 from .solvers.api import eigs, eigsh, svds
+from .sparse.accelerate import AcceleratedOperator, accelerate
 from .solvers.krylov_schur import KrylovSchurArnoldiSolver, KrylovSchurOptions
 from .solvers.arnoldi import ArnoldiEigenSolver, ArnoldiOptions, ArnoldiResult
 from .solvers.cg import cg_solve, cgls_solve, minres_solve, shift_invert_operator

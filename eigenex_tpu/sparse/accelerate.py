@@ -423,6 +423,11 @@ def accelerate(
     """
     t0 = time.time()
     r, c, v, shape = _as_host_triplets(A)
+    if shape[0] != shape[1]:
+        # embed/restore carry ONE permutation; a rectangular operand
+        # would need separate row/col maps — pack it with
+        # bsr_from_coo_arrays directly instead (svds consumes that)
+        raise EigenexError("accelerate() requires a square operator")
     if merge_duplicates is None:
         merge_duplicates = not isinstance(A, COOMatrix)
     if merge_duplicates:

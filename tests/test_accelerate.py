@@ -453,3 +453,9 @@ class TestFilterFrontEndsOnAccelerated:
         acc = accelerate((coo.row, coo.col, coo.data, coo.shape))
         with pytest.raises(LanczosError, match="complexified"):
             eigsh_range(acc, (-1.0, 1.0))
+
+
+def test_accelerate_rejects_rectangular():
+    r = np.array([0, 1]); c = np.array([1, 2]); v = np.array([1.0, 2.0])
+    with pytest.raises(EigenexError, match="square"):
+        accelerate((r, c, v, (4, 6)))
