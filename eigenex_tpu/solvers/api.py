@@ -57,11 +57,18 @@ def _resolve_operand(A):
 
 
 def _to_bsr_for_mesh(A, coo, bsr, block_shape):
-    """Coerce the operand to a BSRMatrix for the distributed drivers."""
+    """Coerce the operand to a block container for the distributed
+    drivers.  A SymBSRMatrix passes through unchanged — the sym_halo
+    mode consumes half-traffic storage natively (an accelerate()-packed
+    operator rides the mesh this way; restore the eigenvectors with the
+    AcceleratedOperator afterwards)."""
     import jax
 
     from ..sparse.bsr import bsr_from_coo_arrays
+    from ..sparse.sym_bsr import SymBSRMatrix
 
+    if isinstance(A, SymBSRMatrix):
+        return A
     if bsr is not None:
         return bsr
     if coo is not None:
@@ -281,8 +288,17 @@ def eigsh(
             res = _check_true_residuals(res, op, "eigsh sigma+mesh (CG/MINRES shift-invert)", tol)
             return _maybe_refine_hermitian(res, coo, refine)
         from ..parallel.distributed import DistributedThickRestartLanczosEigenSolver
+        from ..sparse.sym_bsr import SymBSRMatrix as _Sym
 
         bsr_op = _to_bsr_for_mesh(A, coo, bsr, block_shape)
+        if isinstance(bsr_op, _Sym):
+            if matvec_mode == "allgather":
+                # half-traffic storage has exactly one mesh mode
+                matvec_mode = "sym_halo"
+            elif matvec_mode != "sym_halo":
+                raise EigenexError(
+                    "a SymBSRMatrix operand supports matvec_mode='sym_halo' only"
+                )
         indices, n_track, lm_post = _which_indices(which, k)
         m = min(max_subspace or max(6 * n_track + 32, 64), n)
         axis_name = mesh.axis_names[0]

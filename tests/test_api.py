@@ -574,3 +574,29 @@ class Test2AxisMeshParity:
         np.testing.assert_allclose(s_mesh, s_single, atol=1e-10)
         np.testing.assert_allclose(s_mesh, s_ref, atol=1e-8)
         assert U.shape == (72, 3) and Vh.shape == (3, 48)
+
+
+def test_eigsh_mesh_accepts_sym_bsr_operand():
+    """A SymBSRMatrix operand (e.g. an accelerate()-packed operator)
+    rides the mesh through the sym_halo mode automatically; eigenvalues
+    match the single-device solve."""
+    import jax
+    from jax.sharding import Mesh
+
+    from eigenex_tpu.solvers.api import eigsh
+    from eigenex_tpu.sparse.bsr import bsr_from_coo_arrays
+    from eigenex_tpu.sparse.sym_bsr import sym_bsr_from_bsr
+
+    n = 128
+    r = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    c = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    v = np.concatenate([2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)])
+    sym = sym_bsr_from_bsr(bsr_from_coo_arrays(r, c, v, (n, n), (4, 4)))
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("rows",))
+    lam_mesh = np.asarray(eigsh(sym, k=3, which="SA", tol=1e-12, mesh=mesh).eigenvalues)
+    lam_ref = 2 - 2 * np.cos(np.arange(1, 4) * np.pi / (n + 1))
+    np.testing.assert_allclose(lam_mesh, lam_ref, atol=1e-9)
+    from eigenex_tpu.utils.exceptions import EigenexError
+
+    with pytest.raises(EigenexError, match="sym_halo"):
+        eigsh(sym, k=1, mesh=mesh, matvec_mode="colsplit")
