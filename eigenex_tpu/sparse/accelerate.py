@@ -16,11 +16,14 @@ kernels (:mod:`eigenex_tpu.ops.pallas_spmv`):
    (Heisenberg L=20: bandwidth 48,620 → 5,573 = 0.03·n).
 2. **Pack** — the permuted triplets densify into 128x128 (symmetric:
    diagonal + strictly-upper) or 8x128 (general) BSR-ELL blocks.  Block
-   fill is low (~1%) but the kernels then stream at the HBM roofline
-   (measured 650-790 GB/s on v5e), so effective throughput is
-   roofline x fill — **3.3 Gnnz/s** for the L=20 sector operator vs
-   0.07 for the scalar path (~47x), with bf16 storage *lossless* when
-   every value round-trips bf16 exactly (dyadic couplings do).
+   fill is low (~0.4-1%) but the kernels then stream at the HBM roofline
+   (measured 610-790 GB/s on v5e), so effective throughput is
+   roofline x fill — **2.66 Gnnz/s for the L=24 Heisenberg sector
+   (35.2M nnz), 76x the scalar path**; the end-to-end ground state went
+   from 64-207 s to 4.3 s warm.  bf16 storage is auto-selected only
+   when *lossless* (every value round-trips bf16 exactly — dyadic
+   couplings do), and the Pallas dots split the f32 x vector into bf16
+   components so bf16 storage never degrades Krylov convergence.
 3. **Solve in permuted space** — the permutation is applied once to the
    operator on host; solvers run entirely in permuted coordinates
    (no per-matvec gather), and eigenvectors are unpermuted at the end
