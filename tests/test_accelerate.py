@@ -459,3 +459,24 @@ def test_accelerate_rejects_rectangular():
     r = np.array([0, 1]); c = np.array([1, 2]); v = np.array([1.0, 2.0])
     with pytest.raises(EigenexError, match="square"):
         accelerate((r, c, v, (4, 6)))
+
+
+@pytest.mark.parametrize("which", ["LA", "BE", "LM"])
+def test_eigsh_accelerate_which_modes(which):
+    from eigenex_tpu.solvers.api import eigsh
+
+    n = 220
+    coo = _random_symmetric_coo(n, 0.03, 91)
+    ev = np.sort(np.linalg.eigvalsh(coo.toarray()))
+    res = eigsh(
+        (coo.row, coo.col, coo.data, coo.shape), k=4, which=which,
+        accelerate=True, tol=1e-10,
+    )
+    lam = np.asarray(res.eigenvalues)
+    if which == "LA":
+        want = ev[-4:]
+    elif which == "BE":
+        want = np.concatenate([ev[:2], ev[-2:]])
+    else:  # LM
+        want = np.sort(ev[np.argsort(-np.abs(ev))[:4]])
+    np.testing.assert_allclose(lam, want, atol=1e-5)
