@@ -265,11 +265,6 @@ def eigsh_range(
             raise LanczosError(
                 "eigsh_range: AcceleratedOperator cannot combine with mesh="
             )
-        if acc.complexified:
-            raise LanczosError(
-                "eigsh_range on complexified operators is not supported (the "
-                "KPM count doubles); use eigsh_window per window or eigsh(sigma=)"
-            )
     if mesh is None and acc is None:
         as_filter_operator(A)  # validates the operand type early
     a, b_hi = float(interval[0]), float(interval[1])
@@ -293,14 +288,21 @@ def eigsh_range(
         )
         count_operand = A
     lo, hi = mu_pack[1]
-    total = eigenvalue_count(count_operand, (a, b_hi), _moments=mu_pack)
+    # the real embedding doubles every eigenvalue of H, so raw KPM counts
+    # over a complexified operator are 2x the true count; slice sizing
+    # uses the corrected total (the per-slice eigsh_window calls dedup
+    # their own doubled contents), while the bisection below compares raw
+    # counts against raw-count targets so no factor enters there
+    cf = 0.5 if (acc is not None and acc.complexified) else 1.0
+    total_raw = eigenvalue_count(count_operand, (a, b_hi), _moments=mu_pack)
+    total = cf * total_raw
     per = max(block_size - slack, 1)
     n_slices = max(1, int(np.ceil(total / per)))
     # slice boundaries at equal estimated counts (monotone bisection on
     # the KPM cumulative count)
     edges = [a]
     for s in range(1, n_slices):
-        target = total * s / n_slices
+        target = total_raw * s / n_slices
         x_lo, x_hi = edges[-1], b_hi
         for _ in range(40):
             mid = (x_lo + x_hi) / 2

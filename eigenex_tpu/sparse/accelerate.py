@@ -94,8 +94,8 @@ def _as_host_triplets(A) -> tuple[np.ndarray, np.ndarray, np.ndarray, tuple[int,
 
 
 def _merged(r, c, v, shape):
-    """Row-major sorted, duplicate-merged triplets (the pack and the
-    symmetry check both need canonical form)."""
+    """Row-major sorted, duplicate-merged triplets (full canonical
+    form)."""
     key = r * np.int64(shape[1]) + c
     order = np.argsort(key, kind="stable")
     key, v = key[order], v[order]
@@ -106,19 +106,91 @@ def _merged(r, c, v, shape):
     return key // shape[1], key % shape[1], v
 
 
+def _canonicalize(r, c, v, shape):
+    """Duplicate-free triplets, NOT necessarily sorted.
+
+    Merging duplicates requires an O(nnz log nnz) sort with O(nnz)
+    gathers — at 35M nnz that single stage cost more than the rest of
+    the pack combined (round-5 profile).  But duplicates are rare in
+    practice (builders emit canonical triplets), and every downstream
+    stage now handles unsorted input (the packers run their own cheap
+    block-level sort; the RCM adjacency builds by native histogram
+    scatter; the Hermiticity probe gathers only the sampled rows).  So:
+    detect duplicates with a payload-free ``np.sort`` of the flat keys
+    (~2 s at 35M — numpy's integer radix) and pay for the full merge
+    only when they exist."""
+    key = np.sort(r * np.int64(shape[1]) + c)
+    if len(key) > 1 and bool(np.any(key[1:] == key[:-1])):
+        return _merged(r, c, v, shape)
+    return r, c, v
+
+
 def _is_hermitian(r, c, v, shape) -> bool:
-    """Exact A == Aᴴ on canonical (sorted, merged) triplets."""
+    """Exact A == Aᴴ on duplicate-free triplets (any order)."""
     if shape[0] != shape[1]:
         return False
     key = r * np.int64(shape[1]) + c
     tkey = c * np.int64(shape[1]) + r
+    korder = np.argsort(key, kind="stable")
     torder = np.argsort(tkey, kind="stable")
-    if not np.array_equal(key, tkey[torder]):
+    if not np.array_equal(key[korder], tkey[torder]):
         return False
-    return np.array_equal(v, np.conj(v[torder]))
+    return np.array_equal(v[korder], np.conj(v[torder]))
 
 
-def band_permutation(rows, cols, n: int) -> np.ndarray:
+def _sampled_hermitian_check(r, c, v, shape, *, sample: int = 2048, seed: int = 0):
+    """Cheap sanity check behind ``symmetric=True``: O(nnz) vectorized
+    pattern counts + a sampled mirror-value probe, instead of the full
+    O(nnz log nnz) transpose comparison the flag exists to skip.  Works
+    on UNSORTED duplicate-free triplets: the probe gathers only the
+    entries living on the sampled mirror ROWS (one boolean pass) and
+    sorts that small subset.
+
+    Raises :class:`EigenexError` on any detected asymmetry.  This cannot
+    PROVE Hermiticity (only the full check can), but it catches the
+    realistic misuses — a general operator passed by mistake, a
+    triangle-only store, sign errors — rather than silently symmetrizing
+    them into a wrong answer."""
+    n_lo = int(np.count_nonzero(c < r))
+    n_up = int(np.count_nonzero(c > r))
+    if n_lo != n_up:
+        raise EigenexError(
+            f"symmetric=True, but the pattern has {n_lo} strictly-lower vs "
+            f"{n_up} strictly-upper entries — the operator is not Hermitian "
+            "(a triangle-only store must be expanded first)"
+        )
+    off = np.nonzero(r != c)[0]
+    if off.size == 0:
+        return
+    rng = np.random.default_rng(seed)
+    pick = off if off.size <= sample else rng.choice(off, size=sample, replace=False)
+    # entries on the sampled MIRROR rows only — small subset, own sort
+    is_mrow = np.zeros(shape[0], bool)
+    is_mrow[c[pick]] = True
+    sel = np.nonzero(is_mrow[r])[0]
+    skey = r[sel] * np.int64(shape[1]) + c[sel]
+    so = np.argsort(skey, kind="stable")
+    skey, sval = skey[so], v[sel][so]
+    tkey = c[pick] * np.int64(shape[1]) + r[pick]
+    pos = np.searchsorted(skey, tkey)
+    pos = np.minimum(pos, max(len(skey) - 1, 0))
+    found = skey[pos] == tkey if len(skey) else np.zeros(len(tkey), bool)
+    if not np.all(found):
+        i = int(pick[np.nonzero(~found)[0][0]])
+        raise EigenexError(
+            f"symmetric=True, but entry ({int(r[i])}, {int(c[i])}) has no "
+            "mirror entry — the operator is not Hermitian"
+        )
+    if not np.array_equal(sval[pos], np.conj(v[pick])):
+        bad = int(pick[np.nonzero(sval[pos] != np.conj(v[pick]))[0][0]])
+        raise EigenexError(
+            f"symmetric=True, but entry ({int(r[bad])}, {int(c[bad])}) does "
+            "not equal the conjugate of its mirror — the operator is not "
+            "Hermitian"
+        )
+
+
+def band_permutation(rows, cols, n: int, *, assume_symmetric: bool = False) -> np.ndarray:
     """Reverse Cuthill-McKee ordering of the SYMMETRIZED pattern of the
     triplets — perm[i] = original index at new position i, so
     ``A[perm][:, perm]`` is banded (scipy's convention).
@@ -126,15 +198,27 @@ def band_permutation(rows, cols, n: int) -> np.ndarray:
     Native C++ BFS (``rcm_permutation`` in native/src/builders.cpp) when
     the toolchain is available, scipy's ``reverse_cuthill_mckee``
     otherwise — the two orderings differ only in tie-breaks; tests assert
-    comparable bandwidth."""
+    comparable bandwidth.
+
+    ``assume_symmetric``: the triplet pattern is already symmetric, so
+    the CSR adjacency builds directly from the triplets (any order) with
+    one native histogram+scatter pass — no scipy transpose/add pass and
+    no sort (those were most of the round-4 pack wall time at 35M
+    nnz)."""
+    from .. import native
+
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    if assume_symmetric and native.native_available() and len(rows):
+        rowptr, colidx = native.build_csr(rows, cols, n)
+        return native.rcm_permutation(rowptr, colidx)
+
     import scipy.sparse as sp
 
     pattern = sp.csr_matrix(
         (np.ones(len(rows), np.int8), (rows, cols)), shape=(n, n)
     )
     pattern = pattern + pattern.T  # symmetrize for the general case
-
-    from .. import native
 
     if native.native_available():
         return native.rcm_permutation(
@@ -143,6 +227,37 @@ def band_permutation(rows, cols, n: int) -> np.ndarray:
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     return reverse_cuthill_mckee(pattern, symmetric_mode=True).astype(np.int64)
+
+
+def bipartite_band_permutation(rows, cols, m: int, n: int):
+    """(row_perm, col_perm) banding a RECTANGULAR pattern: RCM runs on
+    the bipartite augmented graph [[0, A], [Aᵀ, 0]] (row node i, col
+    node m+j per entry (i, j)); the mixed ordering is split back into
+    its row and column subsequences.  Connected rows/cols land at nearby
+    band positions, so ``A[row_perm][:, col_perm]`` is banded — the
+    standard augmented-matrix RCM of sparse direct solvers, O(nnz)."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    import scipy.sparse as sp
+
+    br = np.concatenate([rows, cols + m])
+    bc = np.concatenate([cols + m, rows])
+    pattern = sp.csr_matrix(
+        (np.ones(len(br), np.int8), (br, bc)), shape=(m + n, m + n)
+    )
+    from .. import native
+
+    if native.native_available():
+        perm_all = native.rcm_permutation(
+            pattern.indptr.astype(np.int64), pattern.indices.astype(np.int64)
+        )
+    else:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        perm_all = reverse_cuthill_mckee(pattern, symmetric_mode=True).astype(np.int64)
+    row_perm = perm_all[perm_all < m]
+    col_perm = perm_all[perm_all >= m] - m
+    return row_perm, col_perm
 
 
 def _bf16_lossless(values: np.ndarray) -> bool:
@@ -166,35 +281,75 @@ def _host_cast(a: np.ndarray, dtype):
     return jnp.asarray(np.asarray(a).astype(np_dtype))
 
 
-def _pack_symmetric(r, c, v, n_pad, block, use_native, dtype):
+def _pack_symmetric(r, c, v, n_pad, block, use_native, dtype, stage=None):
+    """(SymBSRMatrix, skipped) — ``skipped`` is the count of strictly-
+    lower-BLOCK triplets the pack dropped (mirrors reconstruct them);
+    the caller cross-checks it against the pattern (native path only;
+    the numpy fallback path packs both triangles and drops none)."""
+    stage = stage or (lambda name, t: time.time())
     nbr = n_pad // block
+    ts = time.time()
     if use_native:
         from .. import native
 
         order, _kmax, ku, reach = native.blk_widths(r, c, block, block, nbr)
-        diag, upper, ucols, _skipped = native.sym_bsr_pack_f32(
+        ts = stage("blk_sort", ts)
+        if jnp.dtype(dtype) == jnp.bfloat16:
+            # direct-bf16 threaded pack: no f32 staging buffer, no host
+            # ml_dtypes astype (which measured ~19M el/s and dominated
+            # the round-4 pack)
+            diag, upper, ucols, skipped = native.sym_bsr_pack_bf16(
+                r, c, v.astype(np.float64), order, nbr, block, ku
+            )
+            ts = stage("pack_scatter", ts)
+            mat = SymBSRMatrix(
+                jnp.asarray(diag), jnp.asarray(upper), jnp.asarray(ucols),
+                (n_pad, n_pad), int(reach),
+            )
+            stage("device_put", ts)
+            return mat, skipped
+        diag, upper, ucols, skipped = native.sym_bsr_pack_f32(
             r, c, v.astype(np.float64), order, nbr, block, ku
         )
-        return SymBSRMatrix(
+        ts = stage("pack_scatter", ts)
+        mat = SymBSRMatrix(
             _host_cast(diag, dtype), _host_cast(upper, dtype), jnp.asarray(ucols),
             (n_pad, n_pad), int(reach),
         )
+        stage("device_put", ts)
+        return mat, skipped
     bsr = bsr_from_coo_arrays(r, c, v.astype(np.float32), (n_pad, n_pad), (block, block))
     sym = sym_bsr_from_bsr(bsr)
-    return sym.astype(dtype) if sym.dtype != jnp.dtype(dtype) else sym
+    stage("pack_scatter", ts)
+    return (sym.astype(dtype) if sym.dtype != jnp.dtype(dtype) else sym), None
 
 
-def _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native, dtype):
+def _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native, dtype, stage=None):
+    stage = stage or (lambda name, t: time.time())
     nbr, nbc = m_pad // bm, n_pad // bn
+    ts = time.time()
     if use_native:
         from .. import native
 
         order, kmax, _ku, _reach = native.blk_widths(r, c, bm, bn, nbc)
+        ts = stage("blk_sort", ts)
+        if jnp.dtype(dtype) == jnp.bfloat16:
+            data, bcols = native.bsr_pack_bf16(
+                r, c, v.astype(np.float64), order, nbr, nbc, bm, bn, kmax
+            )
+            ts = stage("pack_scatter", ts)
+            mat = BSRMatrix(jnp.asarray(data), jnp.asarray(bcols), (m_pad, n_pad))
+            stage("device_put", ts)
+            return mat
         data, bcols = native.bsr_pack_f32(
             r, c, v.astype(np.float64), order, nbr, nbc, bm, bn, kmax
         )
-        return BSRMatrix(_host_cast(data, dtype), jnp.asarray(bcols), (m_pad, n_pad))
+        ts = stage("pack_scatter", ts)
+        mat = BSRMatrix(_host_cast(data, dtype), jnp.asarray(bcols), (m_pad, n_pad))
+        stage("device_put", ts)
+        return mat
     bsr = bsr_from_coo_arrays(r, c, v.astype(np.float32), (m_pad, n_pad), (bm, bn))
+    stage("pack_scatter", ts)
     return bsr.astype(dtype) if bsr.dtype != jnp.dtype(dtype) else bsr
 
 
@@ -209,11 +364,15 @@ class AcceleratedOperator:
     (one host-side permutation each — never a per-matvec gather)."""
 
     matrix: Any  # SymBSRMatrix | BSRMatrix, permuted + padded
-    perm: np.ndarray  # (n_work,) original index at permuted position i
+    perm: np.ndarray  # (n_work,) original COLUMN index at permuted position i
     orig_shape: tuple[int, int]  # user-facing shape (pre-embedding)
     symmetric: bool
     complexified: bool  # True: ``matrix`` is the real embedding (dim 2n)
     stats: dict
+    #: rectangular operators carry a separate ROW permutation (bipartite
+    #: RCM); None for square operators, where ``perm`` applies to both
+    #: sides (P·A·Pᵀ)
+    row_perm: np.ndarray | None = None
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -222,16 +381,22 @@ class AcceleratedOperator:
 
     @property
     def n_work(self) -> int:
-        """Unpadded working dimension (2n for complexified operators)."""
+        """Unpadded working COLUMN dimension (2n for complexified)."""
         return len(self.perm)
+
+    @property
+    def m_work(self) -> int:
+        """Unpadded working ROW dimension (= :attr:`n_work` for square)."""
+        return len(self.row_perm) if self.row_perm is not None else len(self.perm)
 
     def as_linear_operator(self, use_pallas: bool | None = None) -> LinearOperator:
         return self.matrix.as_linear_operator(use_pallas=use_pallas)
 
     def embed(self, v) -> jax.Array:
-        """Original-space (n,) or (n, k) vector(s) → permuted, zero-padded
-        device array over :attr:`shape`.  Complex inputs realify to
-        [Re v; Im v] first when the operator was complexified."""
+        """Original COLUMN-space (n,) or (n, k) vector(s) → permuted,
+        zero-padded device array over the operator's input side.  Complex
+        inputs realify to [Re v; Im v] first when the operator was
+        complexified."""
         v = np.asarray(v)
         squeeze = v.ndim == 1
         if squeeze:
@@ -244,15 +409,23 @@ class AcceleratedOperator:
             v = np.concatenate([v.real, v.imag], axis=0)
         elif np.iscomplexobj(v):
             raise EigenexError("complex vector for a real operator")
-        out = np.zeros((self.shape[1], v.shape[1]), np.float32)
+        out = np.zeros((self.shape[1], v.shape[1]), self._embed_dtype)
         out[: self.n_work] = v[self.perm]
         if squeeze:
             out = out[:, 0]
         return jnp.asarray(out)
 
+    @property
+    def _embed_dtype(self):
+        """Host dtype for embedded vectors: the container's ACCUMULATION
+        dtype (f64 containers must not truncate inputs to f32)."""
+        return np.float64 if jnp.dtype(self.matrix.dtype) == jnp.float64 else np.float32
+
     def restore(self, V) -> np.ndarray:
-        """Permuted-padded (n_pad,) or (n_pad, k) result(s) → original
-        space (host array; complex when the operator was complexified)."""
+        """Permuted-padded ROW-space (m_pad,) or (m_pad, k) result(s) →
+        original row space (host array; complex when the operator was
+        complexified).  For square operators rows and columns share one
+        permutation, so this inverts :meth:`embed`."""
         V = np.asarray(V)
         squeeze = V.ndim == 1
         if squeeze:
@@ -261,8 +434,9 @@ class AcceleratedOperator:
             raise EigenexError(
                 f"restore expects length {self.shape[0]}, got {V.shape[0]}"
             )
-        out = np.zeros((self.n_work, V.shape[1]), V.dtype)
-        out[self.perm] = V[: self.n_work]
+        rp = self.row_perm if self.row_perm is not None else self.perm
+        out = np.zeros((len(rp), V.shape[1]), V.dtype)
+        out[rp] = V[: len(rp)]
         if self.complexified:
             n = self.orig_shape[0]
             out = out[:n] + 1j * out[n:]
@@ -270,11 +444,44 @@ class AcceleratedOperator:
             out = out[:, 0]
         return out
 
-    def matvec_oracle(self, x) -> np.ndarray:
-        """Host scipy SpMV of the ORIGINAL operator for verification —
-        only available when accelerate() was given host triplets small
-        enough to keep (stats['oracle'] is set by tests, not here)."""
-        raise EigenexError("use the source COOMatrix for oracle matvecs")
+    def embed_left(self, v) -> jax.Array:
+        """Original ROW-space vector(s) → permuted, zero-padded array
+        over the operator's OUTPUT side — the input side of Aᴴ in the
+        svds Gram pipeline (rectangular analog of :meth:`embed`)."""
+        v = np.asarray(v)
+        squeeze = v.ndim == 1
+        if squeeze:
+            v = v[:, None]
+        if v.shape[0] != self.orig_shape[0]:
+            raise EigenexError(
+                f"embed_left expects length {self.orig_shape[0]}, got {v.shape[0]}"
+            )
+        if np.iscomplexobj(v):
+            raise EigenexError("complex vector for a real operator")
+        rp = self.row_perm if self.row_perm is not None else self.perm
+        out = np.zeros((self.shape[0], v.shape[1]), self._embed_dtype)
+        out[: len(rp)] = v[rp]
+        if squeeze:
+            out = out[:, 0]
+        return jnp.asarray(out)
+
+    def restore_right(self, V) -> np.ndarray:
+        """Permuted-padded COLUMN-space result(s) → original column
+        space — right singular vectors in the svds pipeline (rectangular
+        analog of :meth:`restore`)."""
+        V = np.asarray(V)
+        squeeze = V.ndim == 1
+        if squeeze:
+            V = V[:, None]
+        if V.shape[0] != self.shape[1]:
+            raise EigenexError(
+                f"restore_right expects length {self.shape[1]}, got {V.shape[0]}"
+            )
+        out = np.zeros((self.n_work, V.shape[1]), V.dtype)
+        out[self.perm] = V[: self.n_work]
+        if squeeze:
+            out = out[:, 0]
+        return out
 
     # -- persistence ------------------------------------------------------
     def save(self, path) -> None:
@@ -304,6 +511,8 @@ class AcceleratedOperator:
         arrays = dict(perm=self.perm, meta=np.frombuffer(
             _json.dumps(meta).encode(), dtype=np.uint8
         ))
+        if self.row_perm is not None:
+            arrays["row_perm"] = self.row_perm
         if isinstance(self.matrix, SymBSRMatrix):
             arrays.update(
                 diag=host(self.matrix.diag_data),
@@ -349,6 +558,7 @@ class AcceleratedOperator:
                 symmetric=bool(meta["symmetric"]),
                 complexified=bool(meta["complexified"]),
                 stats=meta["stats"],
+                row_perm=np.asarray(z["row_perm"]) if "row_perm" in z else None,
             )
 
 
@@ -384,10 +594,80 @@ def dedup_embedded_pairs(lam, vecs, keep_max: int | None = None):
     return keep
 
 
+def _accelerate_rectangular(
+    r, c, v, shape, *, dtype, general_block, reorder, merge_duplicates,
+    t0, stages, stage,
+):
+    """Rectangular pack: bipartite RCM (two-sided permutation) + general
+    BSR-ELL with independent row/col padding — the at-scale path for the
+    svds Gram pipeline (reference class: tensor_svd.hpp:172 at the
+    BASELINE config-4 scale), where both Gram matvecs otherwise ride the
+    0.04-0.07 Gnnz/s scalar COO path."""
+    m, n = shape
+    ts = time.time()
+    if merge_duplicates:
+        r, c, v = _canonicalize(r, c, v, shape)
+    ts = stage("merge", ts)
+    if reorder and len(r):
+        row_perm, col_perm = bipartite_band_permutation(r, c, m, n)
+        ts = stage("rcm", ts)
+        ipr = np.empty(m, np.int64)
+        ipr[row_perm] = np.arange(m)
+        ipc = np.empty(n, np.int64)
+        ipc[col_perm] = np.arange(n)
+        r, c = ipr[r], ipc[c]
+        ts = stage("permute", ts)
+    else:
+        row_perm = np.arange(m, dtype=np.int64)
+        col_perm = np.arange(n, dtype=np.int64)
+
+    from .. import native
+
+    use_native = native.native_available()
+    if dtype == "auto":
+        target = jnp.bfloat16 if _bf16_lossless(v) else jnp.float32
+    else:
+        target = dtype
+    bm, bn = general_block
+    m_pad = -(-m // bm) * bm
+    n_pad = -(-n // bn) * bn
+    mat = _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native, target, stage=stage)
+    slots = mat.data.size
+    itemsize = jnp.dtype(target).itemsize
+    # normalized cross bandwidth: how far an entry sits from the matched
+    # band diagonal after the two-sided permutation (row positions scaled
+    # onto the column axis)
+    bw = int(np.abs(r * (n / max(m, 1)) - c).max()) if len(r) else 0
+    stats = dict(
+        nnz=len(v),
+        slots=int(slots),
+        fill=float(len(v) / max(slots, 1)),
+        bytes=int(slots * itemsize),
+        dtype=str(jnp.dtype(target)),
+        bandwidth_before=-1,
+        bandwidth_after=bw,
+        symmetric=False,
+        complexified=False,
+        pack_seconds=time.time() - t0,
+        pack_stages={k: round(s, 4) for k, s in stages.items()},
+        kmax=mat.k_max,
+    )
+    return AcceleratedOperator(
+        matrix=mat,
+        perm=col_perm,
+        orig_shape=(m, n),
+        symmetric=False,
+        complexified=False,
+        stats=stats,
+        row_perm=row_perm,
+    )
+
+
 def accelerate(
     A,
     *,
     symmetric: bool | None = None,
+    symmetric_check: bool = True,
     dtype: Any = "auto",
     block: int = 128,
     general_block: tuple[int, int] = (8, 128),
@@ -401,11 +681,22 @@ def accelerate(
     A : COOMatrix | scipy sparse | (rows, cols, vals, shape)
         The operator, in any host/device scalar-sparse form.  Complex
         operators are embedded as [[A,−B],[B,A]] automatically (Hermitian
-        → real-symmetric → the half-traffic kernel).
+        → real-symmetric → the half-traffic kernel).  RECTANGULAR
+        operators take the two-sided route: bipartite RCM + general
+        BSR-ELL with independent row/col padding (the svds Gram path);
+        their embed/restore split into
+        :meth:`AcceleratedOperator.embed`/:meth:`~AcceleratedOperator.embed_left`
+        and :meth:`~AcceleratedOperator.restore`/:meth:`~AcceleratedOperator.restore_right`.
     symmetric : bool | None
         None (default) detects A == Aᴴ exactly on the triplets.  Passing
-        True skips the check (the pack then TRUSTS the claim: lower-
-        triangle entries are dropped and reconstructed as mirrors).
+        True skips the full check; a cheap sampled probe (pattern counts
+        + mirror-value sample, see ``symmetric_check``) still guards the
+        claim, because the pack drops lower-triangle blocks and
+        reconstructs them as mirrors — on a non-Hermitian operator that
+        silently computes the wrong spectrum.
+    symmetric_check : bool
+        Set False to skip even the sampled probe behind
+        ``symmetric=True`` (trusted production re-packs only).
     dtype : "auto" | jnp dtype
         "auto" stores bf16 when every value round-trips bf16 exactly
         (lossless; halves traffic), else f32.  An explicit dtype forces.
@@ -425,23 +716,53 @@ def accelerate(
     slot counts, bytes, bandwidth before/after, and pack time.
     """
     t0 = time.time()
+    stages: dict[str, float] = {}
+
+    def _stage(name, t_start):
+        now = time.time()
+        stages[name] = stages.get(name, 0.0) + (now - t_start)
+        return now
+
     r, c, v, shape = _as_host_triplets(A)
     if shape[0] != shape[1]:
-        # embed/restore carry ONE permutation; a rectangular operand
-        # would need separate row/col maps — pack it with
-        # bsr_from_coo_arrays directly instead (svds consumes that)
-        raise EigenexError("accelerate() requires a square operator")
+        if symmetric:
+            raise EigenexError("a rectangular operator cannot be symmetric")
+        if np.iscomplexobj(v):
+            raise EigenexError(
+                "complex rectangular acceleration is not supported — "
+                "realify by hand or use the COO Gram path"
+            )
+        return _accelerate_rectangular(
+            r, c, v, shape, dtype=dtype, general_block=general_block,
+            reorder=reorder,
+            merge_duplicates=(
+                merge_duplicates
+                if merge_duplicates is not None
+                else not isinstance(A, COOMatrix)
+            ),
+            t0=t0, stages=stages, stage=_stage,
+        )
     if merge_duplicates is None:
         merge_duplicates = not isinstance(A, COOMatrix)
+    ts = time.time()
     if merge_duplicates:
-        r, c, v = _merged(r, c, v, shape)
+        # duplicate DETECTION is a payload-free radix sort; the full
+        # merge runs only when duplicates actually exist — downstream
+        # stages all accept unsorted triplets (see _canonicalize)
+        r, c, v = _canonicalize(r, c, v, shape)
+    ts = _stage("merge", ts)
 
     complexified = bool(np.iscomplexobj(v))
+    if symmetric is None:
+        symmetric = _is_hermitian(r, c, v, shape)
+    elif symmetric and symmetric_check:
+        # the flag skips the full O(nnz log nnz) transpose comparison;
+        # this cheap probe still turns a misuse (general operator passed
+        # as symmetric) into an error instead of a silently-symmetrized
+        # wrong answer
+        _sampled_hermitian_check(r, c, v, shape)
+    ts = _stage("symmetry_check", ts)
     if complexified:
-        if shape[0] != shape[1]:
-            raise EigenexError("complex acceleration requires a square operator")
-        if symmetric is None:
-            symmetric = _is_hermitian(r, c, v, shape)
         emb = realify_coo(
             COOMatrix(r.astype(np.int32), c.astype(np.int32), v, shape)
         )
@@ -449,18 +770,19 @@ def accelerate(
         c = np.asarray(emb.col, np.int64)
         v = np.asarray(emb.val)
         work_shape = emb.shape
+        ts = _stage("realify", ts)
     else:
-        if symmetric is None:
-            symmetric = _is_hermitian(r, c, v, shape)
         work_shape = shape
     n_work = work_shape[0]
 
     bw_before = int(np.abs(r - c).max()) if len(r) else 0
     if reorder and work_shape[0] == work_shape[1] and len(r):
-        perm = band_permutation(r, c, n_work)
+        perm = band_permutation(r, c, n_work, assume_symmetric=bool(symmetric))
+        ts = _stage("rcm", ts)
         ip = np.empty(n_work, np.int64)
         ip[perm] = np.arange(n_work)
         r, c = ip[r], ip[c]
+        ts = _stage("permute", ts)
     else:
         perm = np.arange(n_work, dtype=np.int64)
     bw_after = int(np.abs(r - c).max()) if len(r) else 0
@@ -479,7 +801,20 @@ def accelerate(
         # a dividing strip (21127 block rows is prime-ish; the pad adds
         # at most 31 empty block rows of slots)
         n_pad = -(-n_work // (32 * block)) * (32 * block)
-        mat = _pack_symmetric(r, c, v, n_pad, block, use_native, target)
+        mat, skipped = _pack_symmetric(
+            r, c, v, n_pad, block, use_native, target, stage=_stage
+        )
+        if skipped is not None:
+            # the native pack reports how many strictly-lower-BLOCK
+            # triplets it dropped; that count is fully determined by the
+            # pattern, so a mismatch means a packer defect — check it
+            # instead of discarding it
+            expect = int(np.count_nonzero(c // block < r // block))
+            if skipped != expect:
+                raise EigenexError(
+                    f"sym pack dropped {skipped} lower-block triplets but the "
+                    f"pattern holds {expect} — packer inconsistency"
+                )
         slots = mat.diag_data.size + mat.upper_data.size
         applied = mat.diag_data.size + 2 * mat.upper_data.size
         widths = dict(ku=mat.upper_cols.shape[1], band_reach=mat.band_reach)
@@ -492,7 +827,9 @@ def accelerate(
         else:
             m_pad = -(-work_shape[0] // bm) * bm
             n_pad = -(-work_shape[1] // bn) * bn
-        mat = _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native, target)
+        mat = _pack_general(
+            r, c, v, m_pad, n_pad, bm, bn, use_native, target, stage=_stage
+        )
         slots = mat.data.size
         applied = slots
         widths = dict(kmax=mat.k_max)
@@ -509,6 +846,7 @@ def accelerate(
         symmetric=bool(symmetric),
         complexified=complexified,
         pack_seconds=time.time() - t0,
+        pack_stages={k: round(s, 4) for k, s in stages.items()},
         **widths,
     )
     return AcceleratedOperator(
