@@ -21,6 +21,7 @@ __all__ = [
     "NATIVE", "native_available", "coo_shrink", "bsr_pack",
     "heisenberg_sector", "mm_info", "mm_read",
     "rcm_permutation", "blk_widths", "bsr_pack_f32", "sym_bsr_pack_f32",
+    "sym_bsr_pack_bf16", "bsr_pack_bf16", "build_csr",
 ]
 
 _SRC = Path(__file__).parent / "src" / "builders.cpp"
@@ -80,6 +81,21 @@ def _load():
     lib.sym_bsr_pack_sorted_f32.argtypes = [
         p_i64, p_i64, p_f64, i64, p_i64, i64, i64, p_f32, p_f32, p_i32,
     ]
+    p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.sym_bsr_pack_sorted_bf16.restype = i64
+    lib.sym_bsr_pack_sorted_bf16.argtypes = [
+        p_i64, p_i64, p_f64, i64, p_i64, i64, i64, p_u16, p_u16, p_i32,
+    ]
+    lib.bsr_pack_sorted_bf16.restype = i64
+    lib.bsr_pack_sorted_bf16.argtypes = [
+        p_i64, p_i64, p_f64, i64, p_i64, i64, i64, i64, i64, p_u16, p_i32,
+    ]
+    lib.sym_bsr_pack_sorted_f32_mt.restype = i64
+    lib.sym_bsr_pack_sorted_f32_mt.argtypes = [
+        p_i64, p_i64, p_f64, i64, p_i64, i64, i64, p_f32, p_f32, p_i32,
+    ]
+    lib.build_csr.restype = i64
+    lib.build_csr.argtypes = [p_i64, p_i64, i64, i64, p_i64, p_i64]
     return lib
 
 
@@ -135,6 +151,19 @@ def heisenberg_sector(L: int, n_up: int, J: float, Jz: float, pbc: bool):
     return rows[:nnz], cols[:nnz], vals[:nnz], dim
 
 
+def build_csr(rows, cols, n: int):
+    """(rowptr, colidx) adjacency of UNSORTED triplets — one threaded
+    histogram + scatter, no argsort/gather (feeds rcm_permutation)."""
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    rowptr = np.zeros(n + 1, np.int64)
+    colidx = np.zeros(len(cols), np.int64)
+    rc = NATIVE.build_csr(rows, cols, len(rows), n, rowptr, colidx)
+    if rc != 0:
+        raise RuntimeError(f"build_csr failed with code {rc} (row index out of range?)")
+    return rowptr, colidx
+
+
 def rcm_permutation(rowptr, colidx):
     """Reverse Cuthill-McKee ordering of a symmetric-pattern CSR graph.
 
@@ -183,7 +212,8 @@ def bsr_pack_f32(rows, cols, vals, order, nbr, nbc, bm, bn, kmax):
 
 
 def sym_bsr_pack_f32(rows, cols, vals, order, nbr, b, ku):
-    """Symmetric diag + strictly-upper pack (f32) over a blk_widths order.
+    """Symmetric diag + strictly-upper pack (f32, threaded) over a
+    blk_widths order.
 
     Lower-triangle triplets are skipped (their count is returned for the
     caller's symmetry sanity check as ``skipped``)."""
@@ -193,12 +223,56 @@ def sym_bsr_pack_f32(rows, cols, vals, order, nbr, b, ku):
     diag = np.zeros((nbr, b, b), np.float32)
     upper = np.zeros((nbr, ku, b, b), np.float32)
     ucols = np.zeros((nbr, ku), np.int32)
-    skipped = NATIVE.sym_bsr_pack_sorted_f32(
+    skipped = NATIVE.sym_bsr_pack_sorted_f32_mt(
         rows, cols, vals, len(vals), order, b, ku, diag, upper, ucols
     )
     if skipped < 0:
         raise RuntimeError(f"sym_bsr_pack_sorted_f32 failed with code {skipped}")
     return diag, upper, ucols, int(skipped)
+
+
+def sym_bsr_pack_bf16(rows, cols, vals, order, nbr, b, ku):
+    """Symmetric pack emitting bfloat16 DIRECTLY (threaded) — no host
+    f32 staging buffer and no ml_dtypes astype pass (that cast measured
+    ~19M el/s and dominated the round-4 pack wall time).  Returns
+    (diag, upper, ucols, skipped) with diag/upper as ml_dtypes.bfloat16
+    views of the packed uint16 buffers."""
+    import ml_dtypes
+
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    diag = np.zeros((nbr, b, b), np.uint16)
+    upper = np.zeros((nbr, ku, b, b), np.uint16)
+    ucols = np.zeros((nbr, ku), np.int32)
+    skipped = NATIVE.sym_bsr_pack_sorted_bf16(
+        rows, cols, vals, len(vals), order, b, ku, diag, upper, ucols
+    )
+    if skipped < 0:
+        raise RuntimeError(f"sym_bsr_pack_sorted_bf16 failed with code {skipped}")
+    return (
+        diag.view(ml_dtypes.bfloat16),
+        upper.view(ml_dtypes.bfloat16),
+        ucols,
+        int(skipped),
+    )
+
+
+def bsr_pack_bf16(rows, cols, vals, order, nbr, nbc, bm, bn, kmax):
+    """General BSR-ELL pack emitting bfloat16 directly (threaded)."""
+    import ml_dtypes
+
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(vals, np.float64)
+    data = np.zeros((nbr, kmax, bm, bn), np.uint16)
+    bcols = np.zeros((nbr, kmax), np.int32)
+    rc = NATIVE.bsr_pack_sorted_bf16(
+        rows, cols, vals, len(vals), order, bm, bn, nbc, kmax, data, bcols
+    )
+    if rc != 0:
+        raise RuntimeError(f"bsr_pack_sorted_bf16 failed with code {rc}")
+    return data.view(ml_dtypes.bfloat16), bcols
 
 
 _MM_ERRORS = {
