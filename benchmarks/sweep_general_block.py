@@ -27,14 +27,34 @@ from bench_arnoldi import convection_diffusion_coo
 SHAPES = [(4, 128), (8, 128), (16, 128), (32, 128), (8, 256), (16, 256)]
 
 
+def parse_shapes(s: str):
+    return [tuple(int(x) for x in p.split("x")) for p in s.split(",")]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=316)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--skip-scipy", action="store_true")
+    ap.add_argument("--shapes", type=str, default=None,
+                    help="e.g. 8x128,16x128 (default: the full sweep)")
     args = ap.parse_args()
+    shapes = parse_shapes(args.shapes) if args.shapes else SHAPES
 
     import jax
+
+    # persistent compilation cache: remote compiles through the axon
+    # tunnel take minutes; cache them like bench.py does
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from eigenex_tpu.sparse.accelerate import accelerate
@@ -45,7 +65,7 @@ def main():
     print(f"# config-2 operator: n={n:,} nnz={nnz:,}", file=sys.stderr)
 
     rows = []
-    for bm, bn in SHAPES:
+    for bm, bn in shapes:
         acc = accelerate(
             (r, c, v, (n, n)), symmetric=False, general_block=(bm, bn),
             dtype=jnp.float32,

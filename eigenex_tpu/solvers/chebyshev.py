@@ -490,14 +490,10 @@ def eigsh_window(
     from ..sparse.accelerate import AcceleratedOperator
 
     if isinstance(A, AcceleratedOperator):
-        if mesh is not None:
-            raise LanczosError(
-                "eigsh_window: AcceleratedOperator cannot combine with mesh="
-            )
         return _window_on_accelerated(
             A, window, block_size=block_size, degree=degree, tol=tol,
             max_iterations=max_iterations, spectral_bounds=spectral_bounds,
-            seed=seed,
+            seed=seed, mesh=mesh, matvec_mode=matvec_mode,
         )
     if mesh is None:
         return ChebyshevFilterSolver(
@@ -536,27 +532,51 @@ def eigsh_window(
 
 
 def _window_on_accelerated(
-    acc, window, *, block_size, degree, tol, max_iterations, spectral_bounds, seed
+    acc, window, *, block_size, degree, tol, max_iterations, spectral_bounds,
+    seed, mesh=None, matvec_mode="allgather",
 ):
     """eigsh_window driver for an AcceleratedOperator: permuted-space
     filter iteration with a padding-safe start block; eigenvectors
     restored (and the doubled spectrum of a complexified operand
-    deduped by value + overlap)."""
+    deduped by value + overlap).
+
+    ``mesh``: the packed container is row-partitioned over the device
+    mesh (sym_halo ring for SymBSR storage; multi-axis meshes flatten —
+    the round-5 accelerate x mesh composition on the filter path)."""
     import numpy as np
 
     from ..sparse.accelerate import dedup_embedded_pairs
 
     mult = 2 if acc.complexified else 1
     dtype = acc.as_linear_operator().dtype
-    X0 = _padding_safe_block(acc.n_work, acc.shape[0], mult * block_size, dtype, seed)
-    # spectral_bounds=None lets the solver power-probe the bounds
-    # (Gershgorin on random operators is far too wide and collapses the
-    # filter's selectivity).  The pads' zero eigenvalue may fall outside
-    # those bounds, where |T_k| grows — harmless: the padding-safe start
-    # block has EXACTLY zero pad components and the structurally-zero
-    # pad rows keep them zero through every filter application.
+    solver_kwargs = {}
+    if mesh is None:
+        operand = acc.matrix
+        padded_n = acc.shape[0]
+    else:
+        from jax.sharding import Mesh as _Mesh
+
+        from ..sparse.sym_bsr import SymBSRMatrix as _Sym
+
+        if len(mesh.axis_names) >= 2:
+            mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
+        if isinstance(acc.matrix, _Sym) and matvec_mode == "allgather":
+            matvec_mode = "sym_halo"
+        operand, _orig_n, padded_n, bounds = mesh_filter_operand(
+            acc.matrix, mesh, matvec_mode, spectral_bounds, seed
+        )
+        spectral_bounds = bounds
+        solver_kwargs = dict(orthonormalize=cholesky_qr2)
+    X0 = _padding_safe_block(acc.n_work, padded_n, mult * block_size, dtype, seed)
+    # single-device: spectral_bounds=None lets the solver power-probe the
+    # bounds (Gershgorin on random operators is far too wide and
+    # collapses the filter's selectivity).  The pads' zero eigenvalue may
+    # fall outside those bounds, where |T_k| grows — harmless: the
+    # padding-safe start block has EXACTLY zero pad components and the
+    # structurally-zero pad rows keep them zero through every filter
+    # application.
     res = ChebyshevFilterSolver(
-        acc.matrix,
+        operand,
         window,
         ChebyshevFilterOptions(
             degree=degree,
@@ -567,7 +587,11 @@ def _window_on_accelerated(
         ),
         block_size=mult * block_size,
         initial_block=X0,
+        **solver_kwargs,
     ).compute()
+    if res.eigenvectors is not None and res.eigenvectors.shape[0] != acc.shape[0]:
+        # mesh padding rows beyond the accelerate pad — slice them off
+        res.eigenvectors = res.eigenvectors[: acc.shape[0]]
     lam = np.asarray(res.eigenvalues)
     vecs = (
         acc.restore(np.asarray(res.eigenvectors))

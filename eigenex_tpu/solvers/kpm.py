@@ -260,11 +260,18 @@ def eigsh_range(
     from ..sparse.accelerate import AcceleratedOperator
 
     acc = A if isinstance(A, AcceleratedOperator) else None
-    if acc is not None:
-        if mesh is not None:
-            raise LanczosError(
-                "eigsh_range: AcceleratedOperator cannot combine with mesh="
-            )
+    if acc is not None and mesh is not None:
+        # round-5 composition on the filter path: moments and per-slice
+        # windows run over the mesh-partitioned packed container (the
+        # sym_halo ring); multi-axis meshes flatten
+        from jax.sharding import Mesh as _Mesh
+
+        from ..sparse.sym_bsr import SymBSRMatrix as _Sym
+
+        if len(mesh.axis_names) >= 2:
+            mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
+        if isinstance(acc.matrix, _Sym) and matvec_mode == "allgather":
+            matvec_mode = "sym_halo"
     if mesh is None and acc is None:
         as_filter_operator(A)  # validates the operand type early
     a, b_hi = float(interval[0]), float(interval[1])
@@ -279,6 +286,7 @@ def eigsh_range(
         mu_pack = chebyshev_moments(
             acc.matrix, n_moments, n_probes=n_probes,
             spectral_bounds=spectral_bounds, seed=seed, probe_rows=acc.n_work,
+            mesh=mesh, matvec_mode=matvec_mode,
         )
         count_operand = types.SimpleNamespace(shape=(acc.n_work, acc.n_work))
     else:

@@ -670,7 +670,7 @@ def accelerate(
     symmetric_check: bool = True,
     dtype: Any = "auto",
     block: int = 128,
-    general_block: tuple[int, int] = (8, 128),
+    general_block: tuple[int, int] = (32, 128),
     reorder: bool = True,
     merge_duplicates: bool | None = None,
 ) -> AcceleratedOperator:
@@ -704,7 +704,13 @@ def accelerate(
         Symmetric block size (128 = the MXU/lane-native tile; the sym
         kernels require square bn=128 blocks).
     general_block : (bm, bn)
-        Block shape for non-symmetric operators.
+        Block shape for non-symmetric operators.  (32, 128) is the
+        measured operating point on v5e (BASELINE round-5 sweep on the
+        config-2 stencil: 0.58/0.61/0.95/1.34/1.36 Gnnz/s at bm =
+        4/8/16/32/64 with identical fill; bn = 256 lowers fill and
+        loses) — taller blocks amortize the per-slot gather over more
+        MXU rows until the path saturates at ~80% of the fill-implied
+        HBM roofline.
     reorder : bool
         Apply the RCM band-reducing permutation (disable only for
         operators already ordered, e.g. tridiagonal).

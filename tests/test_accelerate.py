@@ -664,6 +664,46 @@ class TestAccelerateMeshComposition:
             np.asarray(res2.eigenvalues), np.asarray(res1.eigenvalues), atol=1e-9
         )
 
+    def test_window_composition(self):
+        # the filter path composes too: eigsh_window over a packed
+        # container row-partitioned via the sym_halo ring
+        from eigenex_tpu.solvers.chebyshev import eigsh_window
+
+        trip = self._far_reach_triplets(n=1200, bw=70, seed=43)
+        rr, cc, vv, shape = trip
+        dense = sp.coo_matrix((vv, (rr, cc)), shape=shape).toarray()
+        ev = np.sort(np.linalg.eigvalsh(dense))
+        w = (float((ev[9] + ev[8]) / 2), float((ev[12] + ev[11]) / 2))
+        inside = ev[(ev > w[0]) & (ev < w[1])]
+        acc = accelerate(trip, block=8, dtype=jnp.float64)
+        res = eigsh_window(
+            acc, w, block_size=len(inside) + 3, tol=1e-8, degree=60,
+            spectral_bounds=(float(ev[0]) - 0.1, float(ev[-1]) + 0.1),
+            mesh=self._mesh8(),
+        )
+        lam = np.sort(np.asarray(res.eigenvalues))
+        assert len(lam) == len(inside)
+        np.testing.assert_allclose(lam, inside, atol=1e-7 * np.abs(ev).max())
+        assert res.eigenvectors.shape[0] == shape[0]
+
+    def test_range_composition(self):
+        from eigenex_tpu.solvers.kpm import eigsh_range
+
+        trip = self._far_reach_triplets(n=1200, bw=70, seed=45)
+        rr, cc, vv, shape = trip
+        dense = sp.coo_matrix((vv, (rr, cc)), shape=shape).toarray()
+        ev = np.sort(np.linalg.eigvalsh(dense))
+        a, b = float((ev[3] + ev[4]) / 2), float((ev[10] + ev[11]) / 2)
+        inside = ev[(ev >= a) & (ev <= b)]
+        acc = accelerate(trip, block=8, dtype=jnp.float64)
+        res = eigsh_range(
+            acc, (a, b), block_size=8, tol=1e-8, degree=80,
+            spectral_bounds=(float(ev[0]) - 0.1, float(ev[-1]) + 0.1),
+            mesh=self._mesh8(),
+        )
+        lam = np.sort(np.asarray(res.eigenvalues))
+        np.testing.assert_allclose(lam, inside, atol=1e-7 * np.abs(ev).max())
+
     def test_v0_accepted_under_mesh(self):
         from eigenex_tpu.solvers.api import eigsh
 
