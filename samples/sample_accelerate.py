@@ -26,7 +26,11 @@ import numpy as np
 import jax
 
 try:
-    jax.config.update("jax_enable_x64", True)
+    # f64 iteration is a HOST/CPU capability; the axon TPU plugin has no
+    # f64 and fails at lowering — keep x64 off when a TPU is the default
+    import jax as _jx
+    if _jx.default_backend() != "tpu":
+        _jx.config.update("jax_enable_x64", True)
 except Exception:
     pass
 
@@ -101,3 +105,21 @@ with tempfile.TemporaryDirectory() as d:
     y1 = acc.restore(np.asarray(acc.as_linear_operator().matvec(acc.embed(x))))
     y2 = back.restore(np.asarray(back.as_linear_operator().matvec(back.embed(x))))
     print(f"\nsave/load round-trip matvec bitwise equal: {np.array_equal(y1, y2)}")
+
+# --- round 5: the same pack, row-partitioned over a device mesh --------
+# eigsh(acc, mesh=...) shards the packed SymBSR container over the
+# sym_halo ppermute ring — the path past the single-chip HBM wall
+# (an L=26 sector operator's slots exceed one v5e's 16 GB).  On this
+# host we demonstrate on virtual CPU devices; the same code drives a
+# real slice.
+import jax
+from jax.sharding import Mesh
+
+cpus = jax.devices("cpu")
+if len(cpus) >= 2:
+    mesh = Mesh(np.array(cpus[: min(len(cpus), 8)]), ("rows",))
+    res_m = eigsh(acc, k=3, which="SA", tol=1e-8, mesh=mesh)
+    res_1 = eigsh(acc, k=3, which="SA", tol=1e-8)
+    d = np.abs(np.asarray(res_m.eigenvalues) - np.asarray(res_1.eigenvalues)).max()
+    print(f"\nmesh({len(mesh.devices)} devices) vs single-device eigenvalues: "
+          f"max delta {d:.2e} (restored to original coordinates on both routes)")

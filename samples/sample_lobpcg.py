@@ -19,7 +19,14 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+try:
+    # f64 iteration is a HOST/CPU capability; the axon TPU plugin has no
+    # f64 and fails at lowering — keep x64 off when a TPU is the default
+    import jax as _jx
+    if _jx.default_backend() != "tpu":
+        _jx.config.update("jax_enable_x64", True)
+except Exception:
+    pass
 
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 
 try:
-    jax.config.update("jax_enable_x64", True)
+    # f64 iteration is a HOST/CPU capability; the axon TPU plugin has no
+    # f64 and fails at lowering — keep x64 off when a TPU is the default
+    import jax as _jx
+    if _jx.default_backend() != "tpu":
+        _jx.config.update("jax_enable_x64", True)
 except Exception:
     pass
 

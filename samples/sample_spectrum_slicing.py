@@ -24,7 +24,14 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+try:
+    # f64 iteration is a HOST/CPU capability; the axon TPU plugin has no
+    # f64 and fails at lowering — keep x64 off when a TPU is the default
+    import jax as _jx
+    if _jx.default_backend() != "tpu":
+        _jx.config.update("jax_enable_x64", True)
+except Exception:
+    pass
 
 from eigenex_tpu import eigsh_window
 from eigenex_tpu.solvers.kpm import eigenvalue_count, spectral_density

@@ -27,7 +27,14 @@ try:
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
 except Exception:
     pass
-jax.config.update("jax_enable_x64", True)
+try:
+    # f64 iteration is a HOST/CPU capability; the axon TPU plugin has no
+    # f64 and fails at lowering — keep x64 off when a TPU is the default
+    import jax as _jx
+    if _jx.default_backend() != "tpu":
+        _jx.config.update("jax_enable_x64", True)
+except Exception:
+    pass
 
 import jax.numpy as jnp
 

@@ -18,7 +18,14 @@ import jax
 # f64 sector matrix + 1e-10-grade oracle comparison need x64 (on TPU
 # machines the hybrid route is f32 device + host refine — see
 # sample_tpu_hybrid.py)
-jax.config.update("jax_enable_x64", True)
+try:
+    # f64 iteration is a HOST/CPU capability; the axon TPU plugin has no
+    # f64 and fails at lowering — keep x64 off when a TPU is the default
+    import jax as _jx
+    if _jx.default_backend() != "tpu":
+        _jx.config.update("jax_enable_x64", True)
+except Exception:
+    pass
 
 import numpy as np
 
