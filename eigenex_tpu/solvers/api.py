@@ -110,6 +110,7 @@ def eigsh(
     refine: bool | int = False,
     v0=None,
     accelerate: bool = False,
+    use_pallas: bool | str = False,
 ) -> LanczosResult:
     """k extremal (or σ-targeted) eigenpairs of a Hermitian operator.
 
@@ -139,6 +140,9 @@ def eigsh(
     restoring eigenvectors to original coordinates.  An
     :class:`~eigenex_tpu.sparse.accelerate.AcceleratedOperator` operand
     takes this route implicitly.
+    use_pallas: with ``mesh=``, run the shard-LOCAL SpMV through the
+    Pallas kernels (TPU pods; the default XLA local path is correct
+    everywhere and is what the CPU virtual-mesh tests execute).
     """
     from ..sparse.accelerate import AcceleratedOperator
     from ..sparse.coo import COOMatrix as _COO
@@ -160,7 +164,7 @@ def eigsh(
                 max_subspace=max_subspace, max_restarts=max_restarts,
                 seed=seed, inner_tol=inner_tol, refine=refine, v0=v0,
                 coo=orig_operand if isinstance(orig_operand, _COO) else None,
-                mesh=mesh, matvec_mode=matvec_mode,
+                mesh=mesh, matvec_mode=matvec_mode, use_pallas=use_pallas,
             )
         return _eigsh_accelerated(
             A, k, which=which, sigma=sigma, tol=tol, max_subspace=max_subspace,
@@ -286,6 +290,7 @@ def eigsh(
                 ),
                 axis_name=mesh.axis_names[0],
                 matvec_mode=matvec_mode,
+                use_pallas=use_pallas,
                 sigma=float(np.real(sigma)),
                 cg_tol=inner_tol,
             ).compute()
@@ -349,6 +354,7 @@ def eigsh(
             ),
             axis_name=axis_name,
             matvec_mode=matvec_mode,
+            use_pallas=use_pallas,
         ).compute()
         if res.eigenvectors is not None and res.eigenvectors.shape[0] != n:
             # BSR conversion may have padded the operand before the mesh
@@ -570,7 +576,7 @@ def _restore_accelerated(res, acc, k, refine, coo) -> LanczosResult:
 
 def _eigsh_accelerated_mesh(
     acc, k, *, which, sigma, tol, max_subspace, max_restarts, seed, inner_tol,
-    refine, v0, coo, mesh, matvec_mode,
+    refine, v0, coo, mesh, matvec_mode, use_pallas=False,
 ) -> LanczosResult:
     """eigsh for an :class:`AcceleratedOperator` UNDER a device mesh —
     the one-call composition of the two flagship capabilities: RCM +
@@ -649,6 +655,7 @@ def _eigsh_accelerated_mesh(
             ),
             axis_name=axis,
             matvec_mode=matvec_mode,
+            use_pallas=use_pallas,
             sigma=float(np.real(sigma)),
             cg_tol=inner_tol,
         )
@@ -672,6 +679,7 @@ def _eigsh_accelerated_mesh(
         ),
         axis_name=axis,
         matvec_mode=matvec_mode,
+        use_pallas=use_pallas,
     )
     solver.set_initial_vector(_start_vector(solver.bsr.shape[0]))
     res = solver.compute()
@@ -727,16 +735,17 @@ def eigs(
 
     orig_operand = A
     if accelerate and not isinstance(A, AcceleratedOperator):
-        if mesh is not None:
-            raise EigenexError(
-                "accelerate=True cannot combine with mesh= (repack to "
-                "BSRMatrix manually for the mesh drivers)"
-            )
         from ..sparse.accelerate import accelerate as _accelerate_fn
 
         A = _accelerate_fn(A)
     if isinstance(A, AcceleratedOperator):
         if A.complexified:
+            if mesh is not None:
+                raise EigenexError(
+                    "eigs: a complexified accelerated operand cannot combine "
+                    "with mesh= yet — run the real-embedding reconstruction "
+                    "single-device, or shard the packed container manually"
+                )
             return _eigs_accelerated_complex(
                 A, k, which=which, sigma=sigma, tol=tol,
                 max_subspace=max_subspace, max_restarts=max_restarts,
@@ -748,6 +757,7 @@ def eigs(
             max_restarts=max_restarts, seed=seed, inner_tol=inner_tol,
             refine=refine, v0=v0,
             coo=orig_operand if isinstance(orig_operand, _COO) else None,
+            mesh=mesh, matvec_mode=matvec_mode,
         )
 
     op, coo, bsr = _resolve_operand(A)
@@ -922,12 +932,65 @@ def _maybe_refine_general(res, coo, refine, which: str | None = None, sigma=None
 
 def _eigs_accelerated(
     acc, k, *, which, sigma, tol, max_subspace, max_restarts, seed, inner_tol,
-    refine, v0, coo,
+    refine, v0, coo, mesh=None, matvec_mode="allgather",
 ):
     """eigs driver for a (real) :class:`AcceleratedOperator`: solve over
     the permuted+padded block container with a padding-safe start,
-    restore eigenvectors to original coordinates."""
+    restore eigenvectors to original coordinates.
+
+    ``mesh``: the packed GENERAL container rides the distributed
+    Krylov–Schur driver (allgather/halo/colsplit row partitions); a
+    packed SYMMETRIC container uses the sym_halo ring.  Multi-axis
+    meshes flatten (one row axis is the partition)."""
     from ..parallel.distributed import _padding_safe_v0
+
+    if mesh is not None:
+        from jax.sharding import Mesh as _Mesh
+
+        from ..parallel.distributed import DistributedKrylovSchurArnoldiSolver
+        from ..sparse.sym_bsr import SymBSRMatrix as _Sym
+
+        if sigma is not None:
+            raise EigenexError(
+                "eigs: accelerate= with mesh= supports sigma=None for now "
+                "(shift-invert over the packed mesh container: use eigsh "
+                "for Hermitian operators, or the manual mesh_operator route)"
+            )
+        if len(mesh.axis_names) >= 2:
+            mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
+        if isinstance(acc.matrix, _Sym) and matvec_mode == "allgather":
+            matvec_mode = "sym_halo"
+        m = min(max_subspace or max(4 * k + 24, 48), acc.n_work)
+        solver = DistributedKrylovSchurArnoldiSolver(
+            acc.matrix,
+            mesh,
+            KrylovSchurOptions(
+                max_eigenvalues=k, tolerance=tol, max_subspace=m,
+                max_restarts=max_restarts, seed=seed, which=which,
+            ),
+            axis_name=mesh.axis_names[0],
+            matvec_mode=matvec_mode,
+        )
+        if v0 is not None:
+            v0e = acc.embed(np.asarray(v0))
+            if solver.bsr.shape[0] != v0e.shape[0]:
+                import jax.numpy as jnp
+
+                v0e = jnp.zeros((solver.bsr.shape[0],), v0e.dtype).at[
+                    : v0e.shape[0]
+                ].set(v0e)
+        else:
+            v0e = _padding_safe_v0(
+                acc.n_work, solver.bsr.shape[0],
+                acc.as_linear_operator().dtype, seed,
+            )
+        solver.set_initial_vector(v0e)
+        res = solver.compute()
+        if res.eigenvectors is not None:
+            res.eigenvectors = acc.restore(np.asarray(res.eigenvectors))
+        if refine:
+            return _maybe_refine_general(res, coo, refine, which, sigma)
+        return res
 
     if v0 is not None:
         v0e = acc.embed(np.asarray(v0))

@@ -664,6 +664,36 @@ class TestAccelerateMeshComposition:
             np.asarray(res2.eigenvalues), np.asarray(res1.eigenvalues), atol=1e-9
         )
 
+    def test_eigs_general_composition(self):
+        # a packed GENERAL (nonsymmetric) operator rides the distributed
+        # Krylov-Schur driver under the mesh
+        from eigenex_tpu.solvers.api import eigs
+
+        n = 800
+        rng = np.random.default_rng(47)
+        m = (sp.eye(n) * 2 + sp.random(n, n, density=0.01, random_state=47)).tocoo()
+        acc = accelerate(
+            (m.row, m.col, m.data, m.shape), symmetric=False,
+            general_block=(8, 8), dtype=jnp.float64,
+        )
+        assert not acc.symmetric
+        res1 = eigs(acc, k=3, which="LM", tol=1e-10)
+        res2 = eigs(acc, k=3, which="LM", tol=1e-10, mesh=self._mesh8())
+        # k can cut a conjugate pair in half; which member survives is
+        # route-dependent, so compare conj-agnostically (|λ| and Re λ)
+        for key in (np.abs, np.real):
+            np.testing.assert_allclose(
+                np.sort(key(np.asarray(res2.eigenvalues))),
+                np.sort(key(np.asarray(res1.eigenvalues))),
+                atol=1e-8,
+            )
+        A = m.tocsr()
+        V = np.asarray(res2.eigenvectors)
+        assert V.shape[0] == n
+        lam = np.asarray(res2.eigenvalues)
+        for j in range(3):
+            assert np.linalg.norm(A @ V[:, j] - lam[j] * V[:, j]) < 1e-7
+
     def test_window_composition(self):
         # the filter path composes too: eigsh_window over a packed
         # container row-partitioned via the sym_halo ring
