@@ -1373,7 +1373,9 @@ def _svds_accelerated(
         )
     mat = acc.matrix
     opA = mat.as_linear_operator()
-    opH = opA if isinstance(mat, _Sym) else mat.adjoint().as_linear_operator()
+    # adjoint_matrix packs A-dagger with its own lane-native blocks when
+    # the host triplets were retained (2x the block-transpose route)
+    opH = opA if isinstance(mat, _Sym) else acc.adjoint_matrix().as_linear_operator()
     nrows, ncols = acc.orig_shape
     small = min(nrows, ncols)
     if k > small:

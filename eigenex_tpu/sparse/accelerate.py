@@ -373,6 +373,13 @@ class AcceleratedOperator:
     #: RCM); None for square operators, where ``perm`` applies to both
     #: sides (P·A·Pᵀ)
     row_perm: np.ndarray | None = None
+    #: PERMUTED host triplets, retained for GENERAL packs only — lets
+    #: :meth:`adjoint_matrix` pack Aᴴ with its own lane-native (bm, 128)
+    #: blocks instead of transposing into (128, bm) blocks whose 32-wide
+    #: columns gather poorly (measured: the Gram pipeline's Aᴴ side).
+    #: Not serialized by :meth:`save` (load falls back to block
+    #: transpose).
+    host_triplets: Any = None
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -482,6 +489,41 @@ class AcceleratedOperator:
         if squeeze:
             out = out[:, 0]
         return out
+
+    def adjoint_matrix(self):
+        """Aᴴ of the packed container with ITS OWN lane-native block
+        layout — the svds Gram pipeline's second matvec.
+
+        ``BSRMatrix.adjoint()`` transposes blocks in place, turning an
+        (bm, 128) pack into (128, bm): its bm-wide columns gather at a
+        fraction of lane speed (round-5 sweep).  When the permuted host
+        triplets were retained (general packs), Aᴴ is instead PACKED
+        from the swapped triplets at the same (bm, 128) shape; the
+        result is cached.  Falls back to the block transpose otherwise
+        (symmetric containers are self-adjoint and never call this)."""
+        cached = getattr(self, "_adjoint_cache", None)
+        if cached is not None:
+            return cached
+        if isinstance(self.matrix, SymBSRMatrix):
+            return self.matrix
+        if self.host_triplets is None:
+            adj = self.matrix.adjoint()
+        else:
+            r, c, v = self.host_triplets
+            bm, bn = self.matrix.block_shape
+            m_pad, n_pad = self.matrix.shape
+            from .. import native
+
+            use_native = native.native_available() and np.isrealobj(v)
+            vv = np.conj(v) if np.iscomplexobj(v) else v
+            # swapped triplets: rows of Aᴴ are columns of A — pad sizes
+            # swap with them, block shape stays lane-native
+            adj = _pack_general(
+                c, r, vv, n_pad, m_pad, bm, bn, use_native,
+                self.matrix.dtype,
+            )
+        object.__setattr__(self, "_adjoint_cache", adj)
+        return adj
 
     # -- persistence ------------------------------------------------------
     def save(self, path) -> None:
@@ -629,8 +671,12 @@ def _accelerate_rectangular(
     else:
         target = dtype
     bm, bn = general_block
-    m_pad = -(-m // bm) * bm
-    n_pad = -(-n // bn) * bn
+    # BOTH sides pad to lcm(bm, bn) so the adjoint pack (rows/cols and
+    # block dims swapped) tiles the same padded shape exactly — the
+    # Gram pipeline chains A then Aᴴ without re-padding
+    mult = int(np.lcm(bm, bn))
+    m_pad = -(-m // mult) * mult
+    n_pad = -(-n // mult) * mult
     mat = _pack_general(r, c, v, m_pad, n_pad, bm, bn, use_native, target, stage=stage)
     slots = mat.data.size
     itemsize = jnp.dtype(target).itemsize
@@ -660,6 +706,7 @@ def _accelerate_rectangular(
         complexified=False,
         stats=stats,
         row_perm=row_perm,
+        host_triplets=(r, c, v),
     )
 
 
@@ -862,4 +909,8 @@ def accelerate(
         symmetric=bool(symmetric),
         complexified=complexified,
         stats=stats,
+        # general packs retain the permuted triplets so adjoint_matrix()
+        # can pack Aᴴ lane-natively (the svds Gram second matvec);
+        # symmetric containers are self-adjoint and keep memory flat
+        host_triplets=None if symmetric else (r, c, v),
     )
