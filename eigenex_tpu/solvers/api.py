@@ -1215,17 +1215,14 @@ def svds(
     from ..sparse.accelerate import AcceleratedOperator
 
     if accelerate and not isinstance(A, AcceleratedOperator):
-        if mesh is not None:
-            raise EigenexError("svds: accelerate=True cannot combine with mesh=")
         from ..sparse.accelerate import accelerate as _accelerate_fn
 
         A = _accelerate_fn(A)
     if isinstance(A, AcceleratedOperator):
-        if mesh is not None:
-            raise EigenexError("svds: an AcceleratedOperator cannot combine with mesh=")
         return _svds_accelerated(
             A, k, tol=tol, max_subspace=max_subspace, max_restarts=max_restarts,
             seed=seed, return_singular_vectors=return_singular_vectors,
+            mesh=mesh, matvec_mode=matvec_mode,
         )
 
     op, coo, bsr = _resolve_operand(A)
@@ -1350,13 +1347,18 @@ def svds(
 
 
 def _svds_accelerated(
-    acc, k, *, tol, max_subspace, max_restarts, seed, return_singular_vectors
+    acc, k, *, tol, max_subspace, max_restarts, seed, return_singular_vectors,
+    mesh=None, matvec_mode="allgather",
 ):
     """svds driver for an :class:`AcceleratedOperator`: Hermitian Lanczos
     on the smaller-side Gram operator of the PACKED container (two
     dense-block matvecs per application), with a padding-safe start and
     two-sided restore — left singular vectors through the row
     permutation, right through the column permutation.
+
+    ``mesh``: both Gram matvecs (A then Aᴴ, each its own lane-native
+    packed container) run row-partitioned over the device mesh — the
+    full accelerate × mesh composition on the SVD path.
 
     Reference class: TensorSVD at BASELINE config-4 scale
     (tensor_svd.hpp:172); the scalar COO Gram path this replaces
@@ -1372,6 +1374,89 @@ def _svds_accelerated(
             "redundant — its singular values are |eigenvalues|; use eigsh"
         )
     mat = acc.matrix
+    if mesh is not None:
+        from jax.sharding import Mesh as _Mesh
+
+        from ..parallel.distributed import mesh_operator
+
+        if isinstance(mat, _Sym):
+            raise EigenexError(
+                "svds(mesh=) on a SYMMETRIC accelerated operand is "
+                "redundant — use eigsh(acc, mesh=...); the mesh Gram "
+                "pipeline consumes general packs"
+            )
+        if len(mesh.axis_names) >= 2:
+            mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
+        axis = mesh.axis_names[0]
+        nd = mesh.shape[axis]
+        # A and Aᴴ must chain exactly under the mesh: pad BOTH sides to
+        # the common lcm(bm, bn)·nd grid (A's rows and Aᴴ's cols are the
+        # same dimension tiled by different block dims)
+        from ..sparse.bsr import BSRMatrix as _BSR
+
+        bm, bn = mat.block_shape
+        unit = int(np.lcm(bm, bn)) * nd
+
+        def _pad_to(b, M2, N2):
+            add = (M2 - b.shape[0]) // b.block_shape[0]
+            data, cols = b.data, b.block_cols
+            if add:
+                data = jnp.concatenate(
+                    [data, jnp.zeros((add,) + tuple(data.shape[1:]), data.dtype)]
+                )
+                cols = jnp.concatenate(
+                    [cols, jnp.zeros((add, cols.shape[1]), cols.dtype)]
+                )
+            return _BSR(data, cols, (M2, N2))
+
+        M2 = -(-mat.shape[0] // unit) * unit
+        N2 = -(-mat.shape[1] // unit) * unit
+        padded = _pad_to(mat, M2, N2)
+        padH = _pad_to(acc.adjoint_matrix(), N2, M2)
+        opA = mesh_operator(padded, mesh, axis_name=axis, matvec_mode=matvec_mode)
+        opH = mesh_operator(padH, mesh, axis_name=axis, matvec_mode=matvec_mode)
+        nrows, ncols = acc.orig_shape
+        small = min(nrows, ncols)
+        if k > small:
+            raise EigenexError(f"k={k} exceeds min(shape)={small}")
+        use_right = ncols <= nrows
+        dim_work = acc.n_work if use_right else acc.m_work
+        dim_pad = N2 if use_right else M2
+        g = LinearOperator(
+            _mesh_gram_right_mv if use_right else _mesh_gram_left_mv,
+            (opA, opH),
+            (dim_pad, dim_pad),
+            opA.dtype,
+        )
+        m = min(max_subspace or max(4 * k + 16, 32), dim_work)
+        indices = tuple(range(-k, 0))
+        solver = ThickRestartLanczosEigenSolver(
+            g,
+            ThickRestartOptions(
+                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_subspace=m, max_restarts=max_restarts, seed=seed,
+                compute_eigenvectors=return_singular_vectors,
+            ),
+        )
+        if dim_pad != dim_work:
+            solver.set_initial_vector(_padding_safe_v0(dim_work, dim_pad, g.dtype, seed))
+        res = solver.compute()
+        theta = np.maximum(np.asarray(res.eigenvalues)[::-1], 0.0)
+        s = np.sqrt(theta)
+        if not return_singular_vectors:
+            return s
+        W = res.eigenvectors[:, ::-1]
+        safe = jnp.asarray(np.where(s > 0, s, 1.0), g.dtype)
+        if use_right:
+            V = acc.restore_right(np.asarray(W)[: mat.shape[1]])
+            AW = np.asarray(opA.matmat(W) / safe[None, :])
+            U = acc.restore(AW[: mat.shape[0]])
+        else:
+            U = acc.restore(np.asarray(W)[: mat.shape[0]])
+            HW = np.asarray(opH.matmat(W) / safe[None, :])
+            V = acc.restore_right(HW[: mat.shape[1]])
+        return U, s, np.conj(V).T
+
     opA = mat.as_linear_operator()
     # adjoint_matrix packs A-dagger with its own lane-native blocks when
     # the host triplets were retained (2x the block-transpose route)

@@ -853,6 +853,26 @@ class TestRectangularAcceleration:
         np.testing.assert_allclose(U.T @ U, np.eye(4), atol=1e-8)
         np.testing.assert_allclose(Vh @ Vh.T.conj(), np.eye(4), atol=1e-8)
 
+    def test_svds_accelerated_mesh_composition(self):
+        # the SVD path composes too: both Gram matvecs (A and its
+        # lane-native adjoint pack) row-partitioned over the virtual mesh
+        import jax
+        from jax.sharding import Mesh
+
+        from eigenex_tpu.solvers.api import svds
+
+        rr, cc, vv, shape = self._banded_rect()
+        A = sp.coo_matrix((vv, (rr, cc)), shape=shape)
+        s_ref = np.linalg.svd(A.toarray(), compute_uv=False)[:3]
+        acc = accelerate((rr, cc, vv, shape), dtype=jnp.float64)
+        mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("rows",))
+        U, s, Vh = svds(acc, k=3, tol=1e-11, mesh=mesh)
+        np.testing.assert_allclose(s, s_ref, rtol=1e-8)
+        for j in range(3):
+            np.testing.assert_allclose(
+                A @ np.conj(Vh[j]), s[j] * U[:, j], atol=1e-7 * s[0]
+            )
+
     def test_save_load_roundtrip_rectangular(self, tmp_path):
         rr, cc, vv, shape = self._banded_rect(m=300, n=200, bw=30)
         acc = accelerate((rr, cc, vv, shape), dtype=jnp.float64)
