@@ -196,3 +196,39 @@ def test_config5_distributed_halo_shift_invert():
     exact = 2 - 2 * np.cos(np.pi / (n + 1))
     err = abs(lam_min - exact)
     assert err <= 1e-9, f"config 5 measured error {err:.2e}"
+
+
+def test_config5_accelerate_mesh_composition():
+    """Round-5 form of config 5: the PACKED (RCM + half-traffic sym
+    block) operator row-partitioned over the mesh in ONE call — the
+    route the 10^8-row north star requires once the packed container
+    exceeds one chip's HBM (measured: 8.4 GiB at L=24, ~40 GB at L=26
+    vs 16 GB/chip — BASELINE round-5)."""
+    import scipy.sparse as sp
+    from jax.sharding import Mesh
+
+    from eigenex_tpu.solvers.api import eigsh
+    from eigenex_tpu.sparse.accelerate import accelerate
+
+    rng = np.random.default_rng(53)
+    n, bw = 1200, 64
+    r = np.repeat(np.arange(n), 4)
+    c = r + rng.integers(1, bw, size=len(r))
+    keep = c < n
+    r, c = r[keep], c[keep]
+    v = np.round(rng.standard_normal(len(r)) * 8) / 8
+    rows = np.concatenate([r, c, np.arange(n)])
+    cols = np.concatenate([c, r, np.arange(n)])
+    vals = np.concatenate([v, v, np.full(n, 4.0)])
+    shuf = rng.permutation(n)
+    trip = (shuf[rows], shuf[cols], vals, (n, n))
+
+    acc = accelerate(trip, block=8, dtype=jnp.float64)
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("rows",))
+    res = eigsh(acc, k=3, which="SA", tol=1e-10, mesh=mesh)
+    dense = sp.coo_matrix((vals, (shuf[rows], shuf[cols])), shape=(n, n)).toarray()
+    ev = np.sort(np.linalg.eigvalsh(dense))
+    err = np.abs(np.asarray(res.eigenvalues) - ev[:3]).max()
+    assert err <= 1e-9 * max(np.abs(ev).max(), 1.0), f"composition error {err:.2e}"
+    V = np.asarray(res.eigenvectors)
+    assert V.shape == (n, 3)  # restored to ORIGINAL coordinates
