@@ -1,8 +1,8 @@
-"""General-kernel operating point sweep (VERDICT r4 item 6): justify
-the (8, 128) default block shape of the GENERAL (nonsymmetric) BSR-ELL
-pack by measurement on the BASELINE config-2 operator, and record a
-host scipy/ARPACK wall clock so the TPU claim has a competitive
-baseline.
+"""General-kernel operating point sweep (VERDICT r4 item 6): the
+measurement that moved the GENERAL (nonsymmetric) BSR-ELL default block
+shape from round 4's (8, 128) to (32, 128), on the BASELINE config-2
+operator; also records a host scipy/ARPACK wall clock so the TPU claim
+has a competitive baseline.
 
 For each block shape: pack fill, slot bytes, and the on-chip SpMV rate
 via the shared chain-slope protocol (utils/benchtime).

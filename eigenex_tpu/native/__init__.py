@@ -32,6 +32,7 @@ def _build() -> bool:
     try:
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+            "-pthread",  # std::thread in the packers: explicit link, not implicit
             str(_SRC), "-o", str(_LIB),
         ]
         res = subprocess.run(cmd, capture_output=True, timeout=120)

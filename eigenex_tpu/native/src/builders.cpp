@@ -57,7 +57,11 @@ void radix_argsort_u64(const uint64_t* keys, int64_t* idx, int64_t n) {
 void counting_pass_mt(const int64_t* key_of, const int64_t* src, int64_t* dst,
                       int64_t n, int64_t n_keys) {
   const unsigned hc = std::thread::hardware_concurrency();
-  const int64_t T = std::max<int64_t>(1, std::min<int64_t>(hc ? hc : 1, 8));
+  int64_t T = std::max<int64_t>(1, std::min<int64_t>(hc ? hc : 1, 8));
+  // per-thread histograms are T * n_keys * 8 bytes of transient memory;
+  // cap the total near 1 GiB so wide key ranges cannot OOM a host that
+  // handled the same operator through the old comparison sort
+  while (T > 1 && T * n_keys * 8 > (int64_t(1) << 30)) --T;
   std::vector<std::vector<int64_t>> hist(T);
   std::vector<std::thread> th;
   for (int64_t t = 0; t < T; ++t) {
@@ -705,6 +709,8 @@ namespace {
 inline uint16_t to_bf16(float f) {
   uint32_t x;
   std::memcpy(&x, &f, 4);
+  if ((x & 0x7f800000u) == 0x7f800000u)  // NaN/Inf: truncate, never let the
+    return (uint16_t)(x >> 16);          // rounding add wrap the exponent
   x += 0x7fffu + ((x >> 16) & 1u);  // round to nearest even
   return (uint16_t)(x >> 16);
 }
@@ -852,6 +858,7 @@ int64_t bsr_pack_sorted_bf16(const int64_t* rows, const int64_t* cols,
 // row, colidx keeps input order (BFS adjacency doesn't care).
 int64_t build_csr(const int64_t* rows, const int64_t* cols, int64_t nnz,
                   int64_t n, int64_t* rowptr, int64_t* colidx) {
+  if (n <= 0) return nnz ? -1 : 0;  // empty graph: no histogram to index
   const unsigned hc = std::thread::hardware_concurrency();
   const int64_t T = std::max<int64_t>(1, std::min<int64_t>(hc ? hc : 1, 8));
   std::vector<std::vector<int64_t>> hist(T);

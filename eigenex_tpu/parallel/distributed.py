@@ -105,6 +105,43 @@ def _padding_safe_v0(orig_n: int, padded_n: int, dtype, seed: int):
     return jnp.zeros((padded_n,), dtype).at[:orig_n].set(v)
 
 
+def prepare_packed_mesh(mat, mesh, matvec_mode: str):
+    """(mesh, matvec_mode) normalization shared by every front end that
+    row-partitions a PACKED (accelerate()) container:
+
+    - multi-axis meshes flatten to one row axis (the halo/sym_halo rings
+      are 1-axis row partitions; a second axis adds nothing a panel grid
+      does not already cover on full storage);
+    - SymBSR half-traffic storage has exactly one mesh mode (sym_halo);
+    - the packed band must fit ONE mesh panel — the ring exchanges with
+      the immediate neighbor only, so a wider band is rejected up front
+      with the shard-count remedy instead of a split-internals error."""
+    from jax.sharding import Mesh as _Mesh
+
+    from ..sparse.sym_bsr import SymBSRMatrix as _Sym
+
+    if len(mesh.axis_names) >= 2:
+        mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
+    if isinstance(mat, _Sym):
+        if matvec_mode == "allgather":
+            matvec_mode = "sym_halo"
+        elif matvec_mode != "sym_halo":
+            raise EigenexError(
+                "an accelerated (SymBSR) operand supports matvec_mode='sym_halo' only"
+            )
+        nd = mesh.shape[mesh.axis_names[0]]
+        nbr_pad = -(-mat.n_block_rows // nd) * nd
+        if mat.band_reach > nbr_pad // nd:
+            raise EigenexError(
+                f"the packed band reach ({mat.band_reach} block rows) exceeds "
+                f"one mesh panel ({nbr_pad // nd} block rows at {nd} shards) — "
+                "the sym_halo ring exchanges with the immediate neighbor only; "
+                "use fewer shards so each panel covers the band, or repack "
+                "with a stronger reordering"
+            )
+    return mesh, matvec_mode
+
+
 def pad_bsr_for_mesh(bsr, n_shards: int):
     """Zero-pad block rows/cols so the row count divides evenly over the
     mesh.  Accepts a :class:`BSRMatrix` or a :class:`SymBSRMatrix`.

@@ -593,36 +593,17 @@ def _eigsh_accelerated_mesh(
     embedded subspace; eigenvectors restore through the permutation as
     on the single-device route."""
     import jax.numpy as jnp
-    from jax.sharding import Mesh as _Mesh
 
     from ..parallel.distributed import (
         DistributedShiftInvertLanczosEigenSolver,
         DistributedThickRestartLanczosEigenSolver,
         _padding_safe_v0,
+        prepare_packed_mesh,
     )
-    from ..sparse.sym_bsr import SymBSRMatrix as _Sym
 
-    if len(mesh.axis_names) >= 2:
-        mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
-    axis = mesh.axis_names[0]
     mat = acc.matrix
-    if isinstance(mat, _Sym):
-        if matvec_mode == "allgather":
-            matvec_mode = "sym_halo"
-        elif matvec_mode != "sym_halo":
-            raise EigenexError(
-                "an accelerated (SymBSR) operand supports matvec_mode='sym_halo' only"
-            )
-        nd = mesh.shape[axis]
-        nbr_pad = -(-mat.n_block_rows // nd) * nd
-        if mat.band_reach > nbr_pad // nd:
-            raise EigenexError(
-                f"the packed band reach ({mat.band_reach} block rows) exceeds "
-                f"one mesh panel ({nbr_pad // nd} block rows at {nd} shards) — "
-                "the sym_halo ring exchanges with the immediate neighbor only; "
-                "use fewer shards so each panel covers the band, or repack "
-                "with a stronger reordering"
-            )
+    mesh, matvec_mode = prepare_packed_mesh(mat, mesh, matvec_mode)
+    axis = mesh.axis_names[0]
     if which == "SM" and sigma is None:
         sigma = 0.0
     mult = 2 if acc.complexified else 1
@@ -945,10 +926,10 @@ def _eigs_accelerated(
     from ..parallel.distributed import _padding_safe_v0
 
     if mesh is not None:
-        from jax.sharding import Mesh as _Mesh
-
-        from ..parallel.distributed import DistributedKrylovSchurArnoldiSolver
-        from ..sparse.sym_bsr import SymBSRMatrix as _Sym
+        from ..parallel.distributed import (
+            DistributedKrylovSchurArnoldiSolver,
+            prepare_packed_mesh,
+        )
 
         if sigma is not None:
             raise EigenexError(
@@ -956,10 +937,7 @@ def _eigs_accelerated(
                 "(shift-invert over the packed mesh container: use eigsh "
                 "for Hermitian operators, or the manual mesh_operator route)"
             )
-        if len(mesh.axis_names) >= 2:
-            mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
-        if isinstance(acc.matrix, _Sym) and matvec_mode == "allgather":
-            matvec_mode = "sym_halo"
+        mesh, matvec_mode = prepare_packed_mesh(acc.matrix, mesh, matvec_mode)
         m = min(max_subspace or max(4 * k + 24, 48), acc.n_work)
         solver = DistributedKrylovSchurArnoldiSolver(
             acc.matrix,
@@ -1368,16 +1346,20 @@ def _svds_accelerated(
     from ..parallel.distributed import _padding_safe_v0
     from ..sparse.sym_bsr import SymBSRMatrix as _Sym
 
-    if acc.complexified:
+    if acc.complexified and acc.symmetric:
         raise EigenexError(
-            "svds on a complexified (complex Hermitian) operator is "
-            "redundant — its singular values are |eigenvalues|; use eigsh"
+            "svds on a complexified HERMITIAN operator is redundant — its "
+            "singular values are |eigenvalues|; use eigsh"
         )
+    if acc.complexified and mesh is not None:
+        raise EigenexError(
+            "svds: a complexified accelerated operand cannot combine with "
+            "mesh= (the doubled-spectrum reconstruction is host-side)"
+        )
+    mult = 2 if acc.complexified else 1
     mat = acc.matrix
     if mesh is not None:
-        from jax.sharding import Mesh as _Mesh
-
-        from ..parallel.distributed import mesh_operator
+        from ..parallel.distributed import mesh_operator, prepare_packed_mesh
 
         if isinstance(mat, _Sym):
             raise EigenexError(
@@ -1385,8 +1367,7 @@ def _svds_accelerated(
                 "redundant — use eigsh(acc, mesh=...); the mesh Gram "
                 "pipeline consumes general packs"
             )
-        if len(mesh.axis_names) >= 2:
-            mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
+        mesh, matvec_mode = prepare_packed_mesh(mat, mesh, matvec_mode)
         axis = mesh.axis_names[0]
         nd = mesh.shape[axis]
         # A and Aᴴ must chain exactly under the mesh: pad BOTH sides to
@@ -1474,24 +1455,25 @@ def _svds_accelerated(
         (dim_pad, dim_pad),
         opA.dtype,
     )
-    m = min(max_subspace or max(4 * k + 16, 32), dim_work)
-    indices = tuple(range(-k, 0))
+    kk = mult * k  # complexified: sigma(A) appears twice in the embedding
+    m = min(max_subspace or max(4 * kk + 16, 32), dim_work)
+    indices = tuple(range(-kk, 0))
     if m >= dim_work:
         solver = LanczosEigenSolver(
             g,
             LanczosOptions(
-                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_eigenvalues=kk, eigenvalue_indices=indices, tolerance=tol,
                 max_subspace=min(dim_pad, m + (dim_pad - dim_work)), seed=seed,
-                compute_eigenvectors=return_singular_vectors,
+                compute_eigenvectors=return_singular_vectors or mult == 2,
             ),
         )
     else:
         solver = ThickRestartLanczosEigenSolver(
             g,
             ThickRestartOptions(
-                max_eigenvalues=k, eigenvalue_indices=indices, tolerance=tol,
+                max_eigenvalues=kk, eigenvalue_indices=indices, tolerance=tol,
                 max_subspace=m, max_restarts=max_restarts, seed=seed,
-                compute_eigenvectors=return_singular_vectors,
+                compute_eigenvectors=return_singular_vectors or mult == 2,
             ),
         )
     if dim_pad != dim_work:
@@ -1499,10 +1481,27 @@ def _svds_accelerated(
     res = solver.compute()
     theta = np.maximum(np.asarray(res.eigenvalues)[::-1], 0.0)
     s = np.sqrt(theta)
-    if not return_singular_vectors:
+    if not return_singular_vectors and mult == 1:
         return s
-    W = res.eigenvectors[:, ::-1]  # (dim_pad, k), descending sigma
+    W = res.eigenvectors[:, ::-1]  # (dim_pad, kk), descending sigma
     safe = jnp.asarray(np.where(s > 0, s, 1.0), g.dtype)
+    if acc.complexified:
+        # general complex A through the real embedding M = [[B,-C],[C,B]]:
+        # each sigma of A appears twice (right space spans [Re v, Im v] and
+        # [-Im v, Re v]); restore() reassembles a valid complex vector from
+        # any unit member, so dedup by value + vector overlap keeps one
+        # representative per sigma (square operand: row/col perms coincide)
+        from ..sparse.accelerate import dedup_embedded_pairs
+
+        V = acc.restore(np.asarray(W))
+        U = acc.restore(np.asarray(opA.matmat(W) / safe[None, :]))
+        keep = dedup_embedded_pairs(s, V, keep_max=k)
+        s, V, U = s[keep], V[:, keep], U[:, keep]
+        V = V / np.maximum(np.linalg.norm(V, axis=0), 1e-300)
+        U = U / np.maximum(np.linalg.norm(U, axis=0), 1e-300)
+        if not return_singular_vectors:
+            return s
+        return U, s, np.conj(V).T
     if use_right:
         V = acc.restore_right(np.asarray(W))
         U = acc.restore(np.asarray(opA.matmat(W) / safe[None, :]))

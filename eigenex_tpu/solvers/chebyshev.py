@@ -554,14 +554,9 @@ def _window_on_accelerated(
         operand = acc.matrix
         padded_n = acc.shape[0]
     else:
-        from jax.sharding import Mesh as _Mesh
+        from ..parallel.distributed import prepare_packed_mesh
 
-        from ..sparse.sym_bsr import SymBSRMatrix as _Sym
-
-        if len(mesh.axis_names) >= 2:
-            mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
-        if isinstance(acc.matrix, _Sym) and matvec_mode == "allgather":
-            matvec_mode = "sym_halo"
+        mesh, matvec_mode = prepare_packed_mesh(acc.matrix, mesh, matvec_mode)
         operand, _orig_n, padded_n, bounds = mesh_filter_operand(
             acc.matrix, mesh, matvec_mode, spectral_bounds, seed
         )

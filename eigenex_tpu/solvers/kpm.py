@@ -263,15 +263,10 @@ def eigsh_range(
     if acc is not None and mesh is not None:
         # round-5 composition on the filter path: moments and per-slice
         # windows run over the mesh-partitioned packed container (the
-        # sym_halo ring); multi-axis meshes flatten
-        from jax.sharding import Mesh as _Mesh
+        # sym_halo ring); multi-axis meshes flatten, band reach validated
+        from ..parallel.distributed import prepare_packed_mesh
 
-        from ..sparse.sym_bsr import SymBSRMatrix as _Sym
-
-        if len(mesh.axis_names) >= 2:
-            mesh = _Mesh(mesh.devices.reshape(-1), ("rows",))
-        if isinstance(acc.matrix, _Sym) and matvec_mode == "allgather":
-            matvec_mode = "sym_halo"
+        mesh, matvec_mode = prepare_packed_mesh(acc.matrix, mesh, matvec_mode)
     if mesh is None and acc is None:
         as_filter_operator(A)  # validates the operand type early
     a, b_hi = float(interval[0]), float(interval[1])

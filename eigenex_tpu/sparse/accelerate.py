@@ -762,8 +762,11 @@ def accelerate(
         Apply the RCM band-reducing permutation (disable only for
         operators already ordered, e.g. tridiagonal).
     merge_duplicates : bool | None
-        None merges duplicate triplets unless A is a COOMatrix (whose
-        builder already merged).
+        None (default) canonicalizes every operand: a cheap payload-free
+        radix sort detects duplicates and the full merge runs only when
+        they exist.  False skips even the detection (trusted canonical
+        triplets only — the Hermiticity checks assume duplicate-free
+        input).
 
     Returns an :class:`AcceleratedOperator`; ``.stats`` records fill,
     slot counts, bytes, bandwidth before/after, and pack time.
@@ -789,19 +792,20 @@ def accelerate(
             r, c, v, shape, dtype=dtype, general_block=general_block,
             reorder=reorder,
             merge_duplicates=(
-                merge_duplicates
-                if merge_duplicates is not None
-                else not isinstance(A, COOMatrix)
+                merge_duplicates if merge_duplicates is not None else True
             ),
             t0=t0, stages=stages, stage=_stage,
         )
     if merge_duplicates is None:
-        merge_duplicates = not isinstance(A, COOMatrix)
+        # detect-then-merge for EVERY operand: detection is a cheap
+        # payload-free radix sort, and both Hermiticity checks assume
+        # duplicate-free triplets (a user-assembled COOMatrix with split
+        # entries was falsely rejected when this skipped COOMatrix)
+        merge_duplicates = True
     ts = time.time()
     if merge_duplicates:
-        # duplicate DETECTION is a payload-free radix sort; the full
-        # merge runs only when duplicates actually exist — downstream
-        # stages all accept unsorted triplets (see _canonicalize)
+        # the full merge runs only when duplicates actually exist —
+        # downstream stages all accept unsorted triplets (_canonicalize)
         r, c, v = _canonicalize(r, c, v, shape)
     ts = _stage("merge", ts)
 

@@ -785,6 +785,35 @@ class TestSymmetricClaimGuard:
         )
         assert acc.symmetric  # trusted: packs without complaint
 
+    def test_duplicate_triplet_coomatrix_not_falsely_rejected(self):
+        # round-5 review finding: a user-assembled COOMatrix with SPLIT
+        # entries (FEM-style duplicates) is Hermitian after summing; the
+        # probe must canonicalize before counting, not reject
+        import jax.numpy as jnp_
+        from eigenex_tpu.sparse.coo import COOMatrix
+
+        n = 80
+        m = _random_symmetric_coo(n, 0.05, 16).tocsr().tocoo()
+        # split some UPPER entries w -> w/2 + w/2 (two triplets): the
+        # summed operator is unchanged and exactly symmetric, but the
+        # RAW triangle counts now disagree (the review's repro)
+        up = np.nonzero(m.col > m.row)[0][:10]
+        v2 = m.data.copy()
+        v2[up] /= 2
+        r2 = np.concatenate([m.row, m.row[up]])
+        c2 = np.concatenate([m.col, m.col[up]])
+        v2 = np.concatenate([v2, v2[up]])
+        coo = COOMatrix(
+            jnp_.asarray(r2.astype(np.int32)), jnp_.asarray(c2.astype(np.int32)),
+            jnp_.asarray(v2), (n, n),
+        )
+        acc = accelerate(coo, symmetric=True)  # must NOT raise
+        dense = sp.coo_matrix((v2, (r2, c2)), shape=(n, n)).toarray()
+        assert np.abs(dense - dense.T).max() < 1e-14
+        x = np.random.default_rng(1).standard_normal(n)
+        y = acc.restore(np.asarray(acc.as_linear_operator().matvec(acc.embed(x))))
+        np.testing.assert_allclose(y, dense @ x, atol=1e-5)
+
     def test_symmetric_claim_on_valid_operator_packs_identically(self):
         n = 128
         m = _random_symmetric_coo(n, 0.04, 15)
@@ -852,6 +881,30 @@ class TestRectangularAcceleration:
         # orthonormality of the returned factors
         np.testing.assert_allclose(U.T @ U, np.eye(4), atol=1e-8)
         np.testing.assert_allclose(Vh @ Vh.T.conj(), np.eye(4), atol=1e-8)
+
+    def test_svds_complex_general(self):
+        # round-5 review finding: sigma(A) != |lambda(A)| for non-normal
+        # complex A — svds must not redirect those to eigsh.  The real
+        # embedding has each sigma of A twice; dedup restores k triplets.
+        from eigenex_tpu.solvers.api import svds
+
+        n = 120
+        m = (sp.random(n, n, density=0.06, random_state=55)
+             + 1j * sp.random(n, n, density=0.06, random_state=56)
+             + sp.eye(n)).tocoo()
+        dense = m.toarray()
+        s_ref = np.linalg.svd(dense, compute_uv=False)[:3]
+        acc = accelerate((m.row, m.col, m.data, m.shape), dtype=jnp.float64)
+        assert acc.complexified and not acc.symmetric
+        U, s, Vh = svds(acc, k=3, tol=1e-11)
+        np.testing.assert_allclose(s, s_ref, rtol=1e-7)
+        for j in range(3):
+            np.testing.assert_allclose(
+                dense @ np.conj(Vh[j]), s[j] * U[:, j], atol=1e-6 * s_ref[0]
+            )
+        # values-only route
+        s2 = svds(acc, k=3, tol=1e-11, return_singular_vectors=False)
+        np.testing.assert_allclose(s2, s_ref, rtol=1e-7)
 
     def test_svds_accelerated_mesh_composition(self):
         # the SVD path composes too: both Gram matvecs (A and its
