@@ -15,7 +15,7 @@ kernels (:mod:`eigenex_tpu.ops.pallas_spmv`):
    (symmetrized) pattern concentrates entries near the diagonal
    (Heisenberg L=20: bandwidth 48,620 → 5,573 = 0.03·n).
 2. **Pack** — the permuted triplets densify into 128x128 (symmetric:
-   diagonal + strictly-upper) or 8x128 (general) BSR-ELL blocks.  Block
+   diagonal + strictly-upper) or 32x128 (general) BSR-ELL blocks.  Block
    fill is low (~0.4-1%) but the kernels then stream at the HBM roofline
    (measured 610-790 GB/s on v5e), so effective throughput is
    roofline x fill — **2.66 Gnnz/s for the L=24 Heisenberg sector
